@@ -1,0 +1,26 @@
+"""Test harness config: force an 8-device virtual CPU mesh so sharding tests
+run without TPU hardware, and keep everything deterministic.
+
+Note: the environment may pre-register a TPU platform via sitecustomize and
+pin JAX_PLATFORMS; overriding selection through jax.config *before any
+backend is initialized* (i.e. before the first computation) reliably lands on
+CPU anyway, and XLA_FLAGS set here is read at CPU-backend init time.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu"
+assert jax.device_count() >= 8, "expected 8 virtual CPU devices for sharding tests"

@@ -1,0 +1,204 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinsel_tpu.geometry import intersect as gi
+from tinsel_tpu.accel.build import build_bvh, triangle_bounds, validate_bvh
+from tinsel_tpu.accel.traverse import MeshPool, intersect_mesh
+
+
+def test_ray_sphere_basic():
+    o = jnp.asarray([[0.0, 0.0, -5.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    hit, t, n = gi.intersect_ray_sphere(
+        jnp.zeros((1, 3)), jnp.asarray([1.0]), o, d
+    )
+    assert bool(hit[0])
+    np.testing.assert_allclose(float(t[0]), 4.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n[0]), [0, 0, -1], atol=1e-5)
+
+
+def test_ray_sphere_inside_hits_far_root():
+    o = jnp.zeros((1, 3), jnp.float32)
+    d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    hit, t, n = gi.intersect_ray_sphere(jnp.zeros((1, 3)), jnp.asarray([2.0]), o, d)
+    assert bool(hit[0])
+    np.testing.assert_allclose(float(t[0]), 2.0, atol=1e-5)
+
+
+def test_ray_sphere_miss():
+    o = jnp.asarray([[0.0, 5.0, -5.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    hit, t, _ = gi.intersect_ray_sphere(jnp.zeros((1, 3)), jnp.asarray([1.0]), o, d)
+    assert not bool(hit[0])
+    assert np.isinf(float(t[0]))
+
+
+def test_ray_plane():
+    plane = jnp.asarray([[0.0, 1.0, 0.0, 0.0]], jnp.float32)  # y = 0
+    o = jnp.asarray([[0.0, 2.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    hit, t, n = gi.intersect_ray_plane(plane, o, d)
+    assert bool(hit[0]) and abs(float(t[0]) - 2.0) < 1e-5
+    # parallel ray misses
+    d2 = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    hit2, _, _ = gi.intersect_ray_plane(plane, o, d2)
+    assert not bool(hit2[0])
+
+
+def test_ray_tri_two_sided_and_barycentrics():
+    a = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    b = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    c = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    o = jnp.asarray([0.25, 0.25, 1.0], jnp.float32)
+    d = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
+    hit, t, u, v, w, n = gi.intersect_ray_tri(a, b, c, o, d)
+    assert bool(hit)
+    np.testing.assert_allclose(float(t), 1.0, atol=1e-5)
+    # interpolate position back from barycentrics
+    p = u * a + v * b + w * c
+    np.testing.assert_allclose(np.asarray(p), [0.25, 0.25, 0.0], atol=1e-5)
+    # normal faces the incoming ray (positive z here)
+    assert float(n[2]) > 0.0
+
+    # from the other side: still hits (two-sided), normal flipped
+    hit2, t2, *_, n2 = gi.intersect_ray_tri(
+        a, b, c, jnp.asarray([0.25, 0.25, -1.0], jnp.float32), -d
+    )
+    assert bool(hit2)
+    assert float(n2[2]) < 0.0
+
+
+def test_ray_aabb():
+    o = jnp.asarray([-5.0, 0.5, 0.5], jnp.float32)
+    d = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    hit, t = gi.intersect_ray_aabb(
+        jnp.zeros(3), jnp.ones(3), o, 1.0 / d
+    )
+    assert bool(hit) and abs(float(t) - 5.0) < 1e-5
+    # inside the box
+    hit2, _ = gi.intersect_ray_aabb(
+        jnp.zeros(3), jnp.ones(3), jnp.full(3, 0.5), 1.0 / d
+    )
+    assert bool(hit2)
+    # pointing away
+    hit3, _ = gi.intersect_ray_aabb(jnp.zeros(3), jnp.ones(3), o, -1.0 / d)
+    assert not bool(hit3)
+
+
+# ------------------------------------------------------------------ BVH build
+
+
+def _random_tri_soup(n, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-10, 10, size=(n, 3))
+    verts = centers[:, None, :] + rng.uniform(-0.5, 0.5, size=(n, 3, 3))
+    positions = verts.reshape(-1, 3).astype(np.float32)
+    indices = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+    return positions, indices
+
+
+def test_bvh_build_structure():
+    positions, indices = _random_tri_soup(257)
+    lo, hi = triangle_bounds(positions, indices)
+    bvh = build_bvh(lo, hi, use_native=False)
+    assert bvh.num_nodes == 2 * 257 - 1
+    assert validate_bvh(bvh, lo, hi)
+
+
+def test_bvh_native_matches_python_structurally():
+    positions, indices = _random_tri_soup(5000, seed=1)
+    lo, hi = triangle_bounds(positions, indices)
+    from tinsel_tpu.native.bvh_native import build_bvh_native
+
+    bvh = build_bvh_native(lo, hi)
+    assert bvh.num_nodes == 2 * 5000 - 1
+    assert validate_bvh(bvh, lo, hi)
+    # root bounds identical to python builder's
+    py = build_bvh(lo, hi, use_native=False)
+    np.testing.assert_allclose(bvh.lower[0], py.lower[0], atol=1e-6)
+    np.testing.assert_allclose(bvh.upper[0], py.upper[0], atol=1e-6)
+
+
+# ------------------------------------------------------------- traversal
+
+
+def _pool_from_mesh(positions, indices):
+    lo, hi = triangle_bounds(positions, indices)
+    bvh = build_bvh(lo, hi, use_native=False)
+    v = positions[indices]  # (T, 3, 3)
+    t = v.shape[0]
+    # area-weighted vertex normals, deindexed per-corner (flat here)
+    n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    areas = 0.5 * np.linalg.norm(
+        np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1
+    )
+    cdf = np.cumsum(areas) / areas.sum()
+    pool = MeshPool(
+        node_lower=jnp.asarray(bvh.lower),
+        node_upper=jnp.asarray(bvh.upper),
+        node_left=jnp.asarray(bvh.left),
+        node_right=jnp.asarray(bvh.right),
+        node_leaf=jnp.asarray(bvh.leaf),
+        tri_v0=jnp.asarray(v[:, 0], jnp.float32),
+        tri_v1=jnp.asarray(v[:, 1], jnp.float32),
+        tri_v2=jnp.asarray(v[:, 2], jnp.float32),
+        tri_n0=jnp.asarray(n, jnp.float32),
+        tri_n1=jnp.asarray(n, jnp.float32),
+        tri_n2=jnp.asarray(n, jnp.float32),
+        tri_cdf=jnp.asarray(cdf, jnp.float32),
+    )
+    return pool
+
+
+def _brute_force_closest(positions, indices, o, d):
+    v = positions[indices]
+    a, b, c = (jnp.asarray(v[:, i], jnp.float32) for i in range(3))
+    ob = jnp.broadcast_to(o, a.shape)
+    db = jnp.broadcast_to(d, a.shape)
+    hit, t, u, vv, w, n = gi.intersect_ray_tri(a, b, c, ob, db)
+    i = jnp.argmin(t)
+    return float(t[i]), int(jnp.where(jnp.isinf(t[i]), -1, i))
+
+
+def test_traversal_matches_brute_force():
+    positions, indices = _random_tri_soup(300, seed=2)
+    pool = _pool_from_mesh(positions, indices)
+
+    rng = np.random.default_rng(3)
+    n_rays = 64
+    origins = rng.uniform(-15, 15, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    t_bvh, tri_bvh, *_ = intersect_mesh(
+        pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs),
+        jnp.full((n_rays,), np.inf, np.float32),
+    )
+    t_bvh = np.asarray(t_bvh)
+    tri_bvh = np.asarray(tri_bvh)
+
+    for i in range(n_rays):
+        t_ref, tri_ref = _brute_force_closest(
+            positions, indices, jnp.asarray(origins[i]), jnp.asarray(dirs[i])
+        )
+        if tri_ref < 0:
+            assert tri_bvh[i] < 0, f"ray {i}: bvh hit but brute force missed"
+        else:
+            assert tri_bvh[i] >= 0, f"ray {i}: bvh missed but brute force hit"
+            np.testing.assert_allclose(t_bvh[i], t_ref, rtol=1e-4)
+
+
+def test_traversal_respects_tmax():
+    positions, indices = _random_tri_soup(100, seed=4)
+    pool = _pool_from_mesh(positions, indices)
+    o = jnp.asarray([[0.0, 0.0, -50.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    t_any, tri, *_ = intersect_mesh(pool, 0, 0, o, d, jnp.asarray([np.inf], np.float32))
+    if np.isfinite(float(t_any[0])):
+        # shorten tmax below the hit: must miss
+        t2, tri2, *_ = intersect_mesh(
+            pool, 0, 0, o, d, jnp.asarray([float(t_any[0]) * 0.5], np.float32)
+        )
+        assert not np.isfinite(float(t2[0]))

@@ -1,0 +1,175 @@
+"""Host-side SAH AABB-tree builder (NumPy), producing flat SoA node arrays.
+
+Runs once at scene-load time (never inside jit), like the reference's
+BVHBuilder (bvh.h:34-57). Same algorithm family: full-sweep SAH along the
+longest axis with prefix/suffix area scans minimizing pBelow*i + pAbove*(n-i)
+(bvh.h:160-211), middle-split fallback when the sweep degenerates
+(bvh.h:245-249), one item per leaf by default.
+
+Instead of the reference's 32-byte packed C struct (bvh.h:9-20), nodes are
+structure-of-arrays float32/int32 NumPy arrays — the layout the TPU traversal
+kernels consume directly (gather-friendly, no bitfields).
+
+A C++ fast path (tinsel_tpu/native/bvh_builder.cpp) is used automatically for
+large meshes; this module is the always-available reference implementation
+and oracle for it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class BVH:
+    """Flat SoA BVH. Internal nodes store child node indices; leaves store
+    the item (primitive/triangle) index in `left` with leaf=1. Root is 0."""
+
+    lower: np.ndarray  # (N, 3) f32
+    upper: np.ndarray  # (N, 3) f32
+    left: np.ndarray  # (N,) i32 — child node, or item index if leaf
+    right: np.ndarray  # (N,) i32
+    leaf: np.ndarray  # (N,) i32 (0/1)
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.lower.shape[0])
+
+
+def _surface_area(lower, upper):
+    e = np.maximum(upper - lower, 0.0)
+    return 2.0 * (e[..., 0] * e[..., 1] + e[..., 0] * e[..., 2] + e[..., 1] * e[..., 2])
+
+
+def build_bvh(lowers: np.ndarray, uppers: np.ndarray, max_items_per_leaf: int = 1,
+              use_native: bool = True) -> BVH:
+    """Build a SAH BVH over item AABBs.
+
+    lowers/uppers: (n, 3) float arrays. Returns flat SoA nodes (root at 0).
+    """
+    lowers = np.asarray(lowers, np.float32).reshape(-1, 3)
+    uppers = np.asarray(uppers, np.float32).reshape(-1, 3)
+    n = lowers.shape[0]
+    if n == 0:
+        raise ValueError("cannot build BVH over zero items")
+
+    if use_native and n >= 4096 and max_items_per_leaf == 1:
+        try:
+            from ..native import bvh_native
+
+            return bvh_native.build_bvh_native(lowers, uppers)
+        except Exception:
+            pass  # fall back to the NumPy builder
+
+    centers = 0.5 * (lowers + uppers)
+
+    max_nodes = 2 * n
+    out_lower = np.empty((max_nodes, 3), np.float32)
+    out_upper = np.empty((max_nodes, 3), np.float32)
+    out_left = np.zeros(max_nodes, np.int32)
+    out_right = np.zeros(max_nodes, np.int32)
+    out_leaf = np.zeros(max_nodes, np.int32)
+
+    indices = np.arange(n, dtype=np.int64)
+    used = 0
+
+    def alloc():
+        nonlocal used
+        i = used
+        used += 1
+        return i
+
+    # explicit stack of (node_index, start, end); children filled post-order
+    root = alloc()
+    stack = [(root, 0, n)]
+    while stack:
+        node, start, end = stack.pop()
+        idx = indices[start:end]
+        lo = lowers[idx].min(axis=0)
+        hi = uppers[idx].max(axis=0)
+        out_lower[node] = lo
+        out_upper[node] = hi
+        count = end - start
+
+        if count <= max_items_per_leaf:
+            out_leaf[node] = 1
+            out_left[node] = indices[start]
+            out_right[node] = 0
+            continue
+
+        # longest-axis full SAH sweep
+        axis = int(np.argmax(hi - lo))
+        order = np.argsort(centers[idx, axis], kind="stable")
+        idx_sorted = idx[order]
+        indices[start:end] = idx_sorted
+
+        slo = lowers[idx_sorted]
+        shi = uppers[idx_sorted]
+        # prefix bounds from the left, suffix bounds from the right
+        left_lo = np.minimum.accumulate(slo, axis=0)
+        left_hi = np.maximum.accumulate(shi, axis=0)
+        right_lo = np.minimum.accumulate(slo[::-1], axis=0)[::-1]
+        right_hi = np.maximum.accumulate(shi[::-1], axis=0)[::-1]
+
+        left_area = _surface_area(left_lo, left_hi)
+        right_area = _surface_area(right_lo, right_hi)
+        counts = np.arange(count, dtype=np.float64)
+        # cost of splitting after item i: left has i items, right count-i
+        # (identical objective to the reference sweep)
+        cost = left_area * counts + right_area * (count - counts)
+        split = int(np.argmin(cost)) + 1
+        if split <= 0 or split >= count:
+            split = count // 2
+
+        lchild = alloc()
+        rchild = alloc()
+        out_leaf[node] = 0
+        out_left[node] = lchild
+        out_right[node] = rchild
+        stack.append((lchild, start, start + split))
+        stack.append((rchild, start + split, end))
+
+    return BVH(
+        lower=out_lower[:used].copy(),
+        upper=out_upper[:used].copy(),
+        left=out_left[:used].copy(),
+        right=out_right[:used].copy(),
+        leaf=out_leaf[:used].copy(),
+    )
+
+
+def triangle_bounds(positions: np.ndarray, indices: np.ndarray):
+    """AABBs per triangle. positions (V,3), indices (T,3)."""
+    tris = positions[indices]  # (T, 3, 3)
+    return tris.min(axis=1), tris.max(axis=1)
+
+
+def validate_bvh(bvh: BVH, lowers: np.ndarray, uppers: np.ndarray) -> bool:
+    """Structural sanity: every item appears in exactly one leaf, and every
+    node's bounds contain its children. Used by tests."""
+    n = lowers.shape[0]
+    seen = np.zeros(n, np.int64)
+    eps = 1e-5
+
+    def walk(i):
+        if bvh.leaf[i]:
+            seen[bvh.left[i]] += 1
+            assert np.all(bvh.lower[i] <= lowers[bvh.left[i]] + eps)
+            assert np.all(bvh.upper[i] >= uppers[bvh.left[i]] - eps)
+        else:
+            for c in (bvh.left[i], bvh.right[i]):
+                assert np.all(bvh.lower[i] <= bvh.lower[c] + eps)
+                assert np.all(bvh.upper[i] >= bvh.upper[c] - eps)
+                walk(c)
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 2 * n + 1000))
+    try:
+        walk(0)
+    finally:
+        sys.setrecursionlimit(old)
+    return bool(np.all(seen == 1))

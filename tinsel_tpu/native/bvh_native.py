@@ -1,0 +1,89 @@
+"""ctypes bridge to the native SAH BVH builder (bvh_builder.cpp).
+
+Compiles the shared library on first use with g++ (no pip deps), caches the
+.so next to this file, and exposes `build_bvh_native` with the same SoA
+output contract as tinsel_tpu.accel.build.build_bvh.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "bvh_builder.cpp")
+_SO = os.path.join(_HERE, "libtinselbvh.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _ensure_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            cmd = [
+                "g++",
+                "-O3",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                _SRC,
+                "-o",
+                _SO + ".tmp",
+            ]
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(_SO + ".tmp", _SO)
+        lib = ctypes.CDLL(_SO)
+        lib.tinsel_build_bvh.restype = ctypes.c_int32
+        lib.tinsel_build_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+    return _lib
+
+
+def build_bvh_native(lowers: np.ndarray, uppers: np.ndarray):
+    from ..accel.build import BVH
+
+    lib = _ensure_lib()
+    lowers = np.ascontiguousarray(lowers, np.float32)
+    uppers = np.ascontiguousarray(uppers, np.float32)
+    n = lowers.shape[0]
+    cap = 2 * n
+    out_lower = np.empty((cap, 3), np.float32)
+    out_upper = np.empty((cap, 3), np.float32)
+    out_left = np.empty(cap, np.int32)
+    out_right = np.empty(cap, np.int32)
+    out_leaf = np.empty(cap, np.int32)
+
+    fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    used = lib.tinsel_build_bvh(
+        fptr(lowers), fptr(uppers), ctypes.c_int64(n),
+        fptr(out_lower), fptr(out_upper),
+        iptr(out_left), iptr(out_right), iptr(out_leaf),
+    )
+    if used <= 0:
+        raise RuntimeError("native BVH build failed")
+    return BVH(
+        lower=out_lower[:used].copy(),
+        upper=out_upper[:used].copy(),
+        left=out_left[:used].copy(),
+        right=out_right[:used].copy(),
+        leaf=out_leaf[:used].copy(),
+    )

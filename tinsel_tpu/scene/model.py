@@ -1,0 +1,464 @@
+"""Host-side scene model (NumPy) and its flattening to device SoA pytrees.
+
+This replaces the reference's pointer-based Scene (scene.h:183-215) with a
+two-stage design that fits XLA's compilation model:
+
+* **Host stage** — plain Python dataclasses (`Material`, `Mesh`, `Primitive`,
+  `Scene`) built by the loaders; BVHs and CDFs are built here once.
+* **Device stage** — `Scene.flatten()` produces a `SceneFlat` pytree of flat
+  float32/int32 arrays: a primitive table (SoA, replacing the tagged union
+  scene.h:148-153), a material table, one concatenated mesh/triangle/BVH pool
+  (replacing per-mesh pointers scene.h:119-135), and the probe CDF tables.
+  Everything discrete that shapes the computation graph (primitive types,
+  mesh handles, light list) is kept *static* so the renderer can unroll over
+  primitives and jit once per scene topology.
+
+Continuous parameters (transforms, material params, emission, probe data)
+stay traced arrays — they are the differentiable inputs for the gradient
+path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.build import BVH, build_bvh, triangle_bounds
+from ..accel.traverse import MeshHandle, MeshPool
+
+# primitive type tags (static)
+SPHERE = 0
+PLANE = 1
+MESH = 2
+
+
+# ---------------------------------------------------------------------- host
+
+
+@dataclasses.dataclass
+class Material:
+    """Disney BSDF material; defaults mirror the reference's (scene.h:45-70)."""
+
+    color: np.ndarray = field(default_factory=lambda: np.array([0.82, 0.67, 0.16], np.float32))
+    emission: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    absorption: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    eta: float = 0.0  # 0 => infer from specular
+    metallic: float = 0.0
+    subsurface: float = 0.0
+    specular: float = 0.5
+    roughness: float = 0.5
+    specular_tint: float = 0.0
+    anisotropic: float = 0.0
+    sheen: float = 0.0
+    sheen_tint: float = 0.0
+    clearcoat: float = 0.0
+    clearcoat_gloss: float = 1.0
+    transmission: float = 0.0
+
+    def index_of_refraction(self) -> float:
+        if self.eta == 0.0:
+            return 2.0 / (1.0 - np.sqrt(0.08 * self.specular)) - 1.0
+        return self.eta
+
+
+@dataclasses.dataclass
+class HostTransform:
+    p: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    q: np.ndarray = field(default_factory=lambda: np.array([0, 0, 0, 1], np.float32))
+    s: float = 1.0
+
+    def copy(self) -> "HostTransform":
+        return HostTransform(self.p.copy(), self.q.copy(), float(self.s))
+
+
+@dataclasses.dataclass
+class Mesh:
+    """Host triangle mesh with BVH + area CDF (mesh.h:8-36 equivalent)."""
+
+    positions: np.ndarray  # (V, 3) f32
+    indices: np.ndarray  # (T, 3) i32
+    normals: Optional[np.ndarray] = None  # (V, 3) f32
+    bvh: Optional[BVH] = None
+    cdf: Optional[np.ndarray] = None  # (T,) normalized area CDF
+    area: float = 0.0
+    name: str = ""
+
+    def calculate_normals(self):
+        """Area-weighted vertex normals (mesh.cpp:33-57 semantics)."""
+        pos = self.positions
+        idx = self.indices
+        fn = np.cross(
+            pos[idx[:, 1]] - pos[idx[:, 0]], pos[idx[:, 2]] - pos[idx[:, 0]]
+        )  # unnormalized => area weighting
+        normals = np.zeros_like(pos)
+        np.add.at(normals, idx[:, 0], fn)
+        np.add.at(normals, idx[:, 1], fn)
+        np.add.at(normals, idx[:, 2], fn)
+        norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+        self.normals = (normals / np.maximum(norm, 1e-20)).astype(np.float32)
+
+    def rebuild_cdf(self):
+        pos = self.positions
+        idx = self.indices
+        areas = 0.5 * np.linalg.norm(
+            np.cross(pos[idx[:, 1]] - pos[idx[:, 0]], pos[idx[:, 2]] - pos[idx[:, 0]]),
+            axis=-1,
+        )
+        total = float(areas.sum())
+        self.area = total
+        self.cdf = (np.cumsum(areas) / max(total, 1e-30)).astype(np.float32)
+
+    def rebuild_bvh(self):
+        lo, hi = triangle_bounds(self.positions, self.indices)
+        self.bvh = build_bvh(lo, hi)
+
+    def build(self):
+        if self.normals is None or len(self.normals) != len(self.positions):
+            self.calculate_normals()
+        self.rebuild_cdf()
+        self.rebuild_bvh()
+
+    def normalize(self, size: float = 1.0):
+        """Translate to origin and scale longest edge to `size`."""
+        lo = self.positions.min(axis=0)
+        hi = self.positions.max(axis=0)
+        self.positions = (self.positions - lo).astype(np.float32)
+        max_edge = float((hi - lo).max())
+        if max_edge > 0:
+            self.positions *= np.float32(size / max_edge)
+
+    def transform(self, matrix: np.ndarray):
+        """Apply a 4x4 affine to positions (and rotate normals)."""
+        p = self.positions @ matrix[:3, :3].T + matrix[:3, 3]
+        self.positions = p.astype(np.float32)
+        if self.normals is not None:
+            n = self.normals @ np.linalg.inv(matrix[:3, :3])
+            norm = np.linalg.norm(n, axis=-1, keepdims=True)
+            self.normals = (n / np.maximum(norm, 1e-20)).astype(np.float32)
+
+    def add_mesh(self, other: "Mesh"):
+        offset = len(self.positions)
+        self.positions = np.concatenate([self.positions, other.positions]).astype(np.float32)
+        if self.normals is not None and other.normals is not None:
+            self.normals = np.concatenate([self.normals, other.normals]).astype(np.float32)
+        else:
+            self.normals = None
+        self.indices = np.concatenate([self.indices, other.indices + offset]).astype(np.int32)
+
+
+@dataclasses.dataclass
+class Primitive:
+    type: int = SPHERE
+    start_transform: HostTransform = field(default_factory=HostTransform)
+    end_transform: Optional[HostTransform] = None  # None => same as start
+    radius: float = 1.0
+    plane: np.ndarray = field(default_factory=lambda: np.array([0, 1, 0, 0], np.float32))
+    mesh: Optional[Mesh] = None
+    material: Material = field(default_factory=Material)
+    light_samples: int = 0
+
+    def resolved_end(self) -> HostTransform:
+        return self.end_transform if self.end_transform is not None else self.start_transform
+
+
+@dataclasses.dataclass
+class Camera:
+    position: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    rotation: np.ndarray = field(default_factory=lambda: np.array([0, 0, 0, 1], np.float32))
+    fov: float = float(np.deg2rad(45.0))
+    shutter_start: float = 0.0
+    shutter_end: float = 1.0
+
+
+@dataclasses.dataclass
+class Sky:
+    horizon: np.ndarray = field(default_factory=lambda: np.array([0.0, 0.0, 0.0], np.float32))
+    zenith: np.ndarray = field(default_factory=lambda: np.array([0.0, 0.0, 0.0], np.float32))
+    probe: Optional["HostProbe"] = None
+
+
+@dataclasses.dataclass
+class HostProbe:
+    """Lat-long HDR environment map with a luminance-weighted 2D CDF
+    (probe.h:31-79 semantics, built vectorized)."""
+
+    data: np.ndarray  # (H, W, 3) f32 linear radiance
+
+    pdf_x: np.ndarray = None  # (H, W)
+    cdf_x: np.ndarray = None  # (H, W)
+    pdf_y: np.ndarray = None  # (H,)
+    cdf_y: np.ndarray = None  # (H,)
+
+    def build_cdf(self):
+        lum = (
+            0.3 * self.data[..., 0]
+            + 0.6 * self.data[..., 1]
+            + 0.1 * self.data[..., 2]
+        ).astype(np.float64)
+        row_sum = lum.sum(axis=1, keepdims=True)  # (H, 1)
+        row_sum_safe = np.maximum(row_sum, 1e-30)
+        self.pdf_x = (lum / row_sum_safe).astype(np.float32)
+        self.cdf_x = (np.cumsum(lum, axis=1) / row_sum_safe).astype(np.float32)
+        total = np.maximum(lum.sum(), 1e-30)
+        self.pdf_y = (row_sum[:, 0] / total).astype(np.float32)
+        self.cdf_y = (np.cumsum(row_sum[:, 0]) / total).astype(np.float32)
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.data.shape[0]
+
+
+@dataclasses.dataclass
+class Options:
+    """Render options (render.h:50-63 equivalent + defaults main.cpp:181-193)."""
+
+    width: int = 512
+    height: int = 256
+    max_depth: int = 4
+    max_samples: int = 512
+    exposure: float = 1.0
+    limit: float = 1.5
+    clamp: float = float("inf")
+    filter_type: str = "gaussian"  # "box" | "gaussian"
+    filter_width: float = 0.75
+    filter_falloff: float = 1.0
+    mode: str = "pathtrace"  # "pathtrace" | "normals" | "complexity"
+
+
+# --------------------------------------------------------------------- device
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MaterialsFlat:
+    emission: jax.Array  # (M, 3)
+    color: jax.Array  # (M, 3)
+    absorption: jax.Array  # (M, 3)
+    eta: jax.Array  # (M,) resolved index of refraction (>0)
+    metallic: jax.Array
+    subsurface: jax.Array
+    specular: jax.Array
+    roughness: jax.Array
+    specular_tint: jax.Array
+    clearcoat: jax.Array
+    clearcoat_gloss: jax.Array
+    transmission: jax.Array
+
+    def select(self, i):
+        """Gather one (batched) material record by index array."""
+        return jax.tree_util.tree_map(lambda a: a[i], self)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PrimsFlat:
+    """Traced per-primitive parameters (continuous; differentiable)."""
+
+    start_p: jax.Array  # (P, 3)
+    start_q: jax.Array  # (P, 4)
+    start_s: jax.Array  # (P,)
+    end_p: jax.Array
+    end_q: jax.Array
+    end_s: jax.Array
+    radius: jax.Array  # (P,)
+    plane: jax.Array  # (P, 4)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProbeFlat:
+    data: jax.Array  # (H, W, 3)
+    pdf_x: jax.Array  # (H, W)
+    cdf_x: jax.Array  # (H, W)
+    pdf_y: jax.Array  # (H,)
+    cdf_y: jax.Array  # (H,)
+
+
+@dataclasses.dataclass(frozen=True)
+class PrimStatic:
+    """Static (Python-land) facts about one primitive; shapes the jaxpr."""
+
+    type: int
+    mesh: Optional[MeshHandle]
+    material_index: int
+    light_samples: int
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneFlat:
+    prims: PrimsFlat
+    materials: MaterialsFlat
+    pool: MeshPool
+    probe: Optional[ProbeFlat]
+    sky_horizon: jax.Array  # (3,)
+    sky_zenith: jax.Array  # (3,)
+    # static structure
+    prim_static: tuple = field(metadata=dict(static=True), default=())
+    light_indices: tuple = field(metadata=dict(static=True), default=())
+
+    @property
+    def num_prims(self) -> int:
+        return len(self.prim_static)
+
+
+@dataclasses.dataclass
+class Scene:
+    primitives: List[Primitive] = field(default_factory=list)
+    sky: Sky = field(default_factory=Sky)
+    camera: Camera = field(default_factory=Camera)
+    options: Options = field(default_factory=Options)
+
+    def add_primitive(self, p: Primitive):
+        self.primitives.append(p)
+
+    # -- flattening ---------------------------------------------------------
+
+    def flatten(self) -> SceneFlat:
+        # deduplicate meshes by object identity (instancing: many primitives
+        # share one Mesh => one pool segment, like render.cu:1002-1011)
+        mesh_list: List[Mesh] = []
+        mesh_ids = {}
+        for prim in self.primitives:
+            if prim.type == MESH and prim.mesh is not None:
+                if id(prim.mesh) not in mesh_ids:
+                    mesh_ids[id(prim.mesh)] = len(mesh_list)
+                    mesh_list.append(prim.mesh)
+
+        handles: List[MeshHandle] = []
+        node_arrays = {k: [] for k in ("lower", "upper", "left", "right", "leaf")}
+        tri_arrays = {k: [] for k in ("v0", "v1", "v2", "n0", "n1", "n2", "cdf")}
+        node_off = 0
+        tri_off = 0
+        for m in mesh_list:
+            if m.bvh is None or m.cdf is None or m.normals is None:
+                m.build()
+            b = m.bvh
+            node_arrays["lower"].append(b.lower)
+            node_arrays["upper"].append(b.upper)
+            node_arrays["left"].append(b.left)
+            node_arrays["right"].append(b.right)
+            node_arrays["leaf"].append(b.leaf)
+            v = m.positions[m.indices]  # (T, 3, 3)
+            n = m.normals[m.indices]
+            tri_arrays["v0"].append(v[:, 0])
+            tri_arrays["v1"].append(v[:, 1])
+            tri_arrays["v2"].append(v[:, 2])
+            tri_arrays["n0"].append(n[:, 0])
+            tri_arrays["n1"].append(n[:, 1])
+            tri_arrays["n2"].append(n[:, 2])
+            tri_arrays["cdf"].append(m.cdf)
+            handles.append(
+                MeshHandle(
+                    node_offset=node_off,
+                    num_nodes=b.num_nodes,
+                    tri_offset=tri_off,
+                    num_tris=len(m.indices),
+                    area=float(m.area),
+                )
+            )
+            node_off += b.num_nodes
+            tri_off += len(m.indices)
+
+        def cat(xs, dtype, width=None):
+            if not xs:
+                shape = (1, width) if width else (1,)
+                return jnp.zeros(shape, dtype)
+            out = np.concatenate([np.asarray(x) for x in xs], axis=0)
+            return jnp.asarray(out, dtype)
+
+        pool = MeshPool(
+            node_lower=cat(node_arrays["lower"], jnp.float32, 3),
+            node_upper=cat(node_arrays["upper"], jnp.float32, 3),
+            node_left=cat(node_arrays["left"], jnp.int32),
+            node_right=cat(node_arrays["right"], jnp.int32),
+            node_leaf=cat(node_arrays["leaf"], jnp.int32),
+            tri_v0=cat(tri_arrays["v0"], jnp.float32, 3),
+            tri_v1=cat(tri_arrays["v1"], jnp.float32, 3),
+            tri_v2=cat(tri_arrays["v2"], jnp.float32, 3),
+            tri_n0=cat(tri_arrays["n0"], jnp.float32, 3),
+            tri_n1=cat(tri_arrays["n1"], jnp.float32, 3),
+            tri_n2=cat(tri_arrays["n2"], jnp.float32, 3),
+            tri_cdf=cat(tri_arrays["cdf"], jnp.float32),
+        )
+
+        # materials: one row per primitive (simple and gradient-friendly)
+        mats = [p.material for p in self.primitives]
+        mf = MaterialsFlat(
+            emission=jnp.asarray(np.stack([m.emission for m in mats]) if mats else np.zeros((1, 3)), jnp.float32),
+            color=jnp.asarray(np.stack([m.color for m in mats]) if mats else np.zeros((1, 3)), jnp.float32),
+            absorption=jnp.asarray(np.stack([m.absorption for m in mats]) if mats else np.zeros((1, 3)), jnp.float32),
+            eta=jnp.asarray([m.index_of_refraction() for m in mats] or [1.5], jnp.float32),
+            metallic=jnp.asarray([m.metallic for m in mats] or [0.0], jnp.float32),
+            subsurface=jnp.asarray([m.subsurface for m in mats] or [0.0], jnp.float32),
+            specular=jnp.asarray([m.specular for m in mats] or [0.5], jnp.float32),
+            roughness=jnp.asarray([m.roughness for m in mats] or [0.5], jnp.float32),
+            specular_tint=jnp.asarray([m.specular_tint for m in mats] or [0.0], jnp.float32),
+            clearcoat=jnp.asarray([m.clearcoat for m in mats] or [0.0], jnp.float32),
+            clearcoat_gloss=jnp.asarray([m.clearcoat_gloss for m in mats] or [1.0], jnp.float32),
+            transmission=jnp.asarray([m.transmission for m in mats] or [0.0], jnp.float32),
+        )
+
+        prims = self.primitives or [Primitive()]
+        ends = [p.resolved_end() for p in prims]
+        pf = PrimsFlat(
+            start_p=jnp.asarray(np.stack([p.start_transform.p for p in prims]), jnp.float32),
+            start_q=jnp.asarray(np.stack([p.start_transform.q for p in prims]), jnp.float32),
+            start_s=jnp.asarray([p.start_transform.s for p in prims], jnp.float32),
+            end_p=jnp.asarray(np.stack([e.p for e in ends]), jnp.float32),
+            end_q=jnp.asarray(np.stack([e.q for e in ends]), jnp.float32),
+            end_s=jnp.asarray([e.s for e in ends], jnp.float32),
+            radius=jnp.asarray([p.radius for p in prims], jnp.float32),
+            plane=jnp.asarray(np.stack([p.plane for p in prims]), jnp.float32),
+        )
+
+        prim_static = []
+        for i, p in enumerate(self.primitives):
+            handle = None
+            if p.type == MESH and p.mesh is not None:
+                handle = handles[mesh_ids[id(p.mesh)]]
+            prim_static.append(
+                PrimStatic(
+                    type=p.type,
+                    mesh=handle,
+                    material_index=i,
+                    light_samples=int(p.light_samples),
+                )
+            )
+
+        light_indices = tuple(
+            i for i, p in enumerate(self.primitives) if p.light_samples > 0
+        )
+
+        probe_flat = None
+        if self.sky.probe is not None:
+            hp = self.sky.probe
+            if hp.cdf_x is None:
+                hp.build_cdf()
+            probe_flat = ProbeFlat(
+                data=jnp.asarray(hp.data, jnp.float32),
+                pdf_x=jnp.asarray(hp.pdf_x, jnp.float32),
+                cdf_x=jnp.asarray(hp.cdf_x, jnp.float32),
+                pdf_y=jnp.asarray(hp.pdf_y, jnp.float32),
+                cdf_y=jnp.asarray(hp.cdf_y, jnp.float32),
+            )
+
+        return SceneFlat(
+            prims=pf,
+            materials=mf,
+            pool=pool,
+            probe=probe_flat,
+            sky_horizon=jnp.asarray(self.sky.horizon, jnp.float32),
+            sky_zenith=jnp.asarray(self.sky.zenith, jnp.float32),
+            prim_static=tuple(prim_static),
+            light_indices=light_indices,
+        )
