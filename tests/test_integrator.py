@@ -1,0 +1,212 @@
+"""End-to-end integrator physics tests — the analytic scene checks the
+reference ships as data (conservation.tin, furnace.tin, simple.tin)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinsel_tpu.scene.model import (
+    Camera,
+    HostTransform,
+    Material,
+    Mesh,
+    Options,
+    PLANE,
+    Primitive,
+    Scene,
+    Sky,
+    SPHERE,
+    MESH,
+)
+from tinsel_tpu.render.renderer import render
+from tinsel_tpu.render.integrator import path_trace
+from tinsel_tpu.render.camera import CameraParams, generate_rays
+
+
+def _resolve_mean(accum):
+    w = np.maximum(np.asarray(accum[..., 3]), 1e-6)
+    return np.asarray(accum[..., :3]) / w[..., None]
+
+
+def test_conservation_sphere_matches_background():
+    """conservation.tin: constant 0.5 sky, white rough sphere -> the sphere
+    must render the same color as the background (energy conservation)."""
+    scene = Scene()
+    scene.sky = Sky(
+        horizon=np.array([0.5, 0.5, 0.5], np.float32),
+        zenith=np.array([0.5, 0.5, 0.5], np.float32),
+    )
+    scene.camera = Camera(position=np.array([0.0, 0.5, 5.0], np.float32))
+    scene.add_primitive(
+        Primitive(
+            type=SPHERE,
+            radius=0.5,
+            material=Material(
+                color=np.array([1.0, 1.0, 1.0], np.float32),
+                roughness=0.5,
+                specular=0.1,
+            ),
+        )
+    )
+    scene.options = Options(width=48, height=48, max_depth=6)
+
+    accum = render(scene, spp=48, seed=0, options=scene.options)
+    img = _resolve_mean(accum)
+    h, w = img.shape[:2]
+    # center pixels hit the sphere; corner pixels are background
+    center = img[h // 2 - 2 : h // 2 + 2, w // 2 - 2 : w // 2 + 2].mean(axis=(0, 1))
+    corner = img[:4, :4].mean(axis=(0, 1))
+    np.testing.assert_allclose(corner, 0.5, atol=0.02)
+    np.testing.assert_allclose(center, corner, rtol=0.08)
+
+
+def test_furnace_closed_environment():
+    """Furnace: a white diffuse sphere inside a constant emissive environment
+    must converge to the environment radiance at every depth >= a few."""
+    scene = Scene()
+    scene.sky = Sky(
+        horizon=np.array([1.0, 1.0, 1.0], np.float32),
+        zenith=np.array([1.0, 1.0, 1.0], np.float32),
+    )
+    scene.camera = Camera(position=np.array([0.0, 0.0, 4.0], np.float32))
+    scene.add_primitive(
+        Primitive(
+            type=SPHERE,
+            radius=1.0,
+            material=Material(
+                color=np.array([1.0, 1.0, 1.0], np.float32),
+                roughness=1.0,
+                specular=0.0,
+            ),
+        )
+    )
+    scene.options = Options(width=32, height=32, max_depth=16)
+    accum = render(scene, spp=64, seed=1, options=scene.options)
+    img = _resolve_mean(accum)
+    center = img[14:18, 14:18].mean(axis=(0, 1))
+    # white furnace: close to the environment radiance. The Disney diffuse
+    # lobe is not exactly energy conserving (Fd90 retro-reflection gains a
+    # few percent at roughness 1), so this is a weak furnace test like the
+    # reference's furnace.tin — bounded, not exact.
+    np.testing.assert_allclose(center, 1.0, atol=0.1)
+    assert center.mean() > 0.9  # no energy lost to termination/mis-weighting
+
+
+def test_direct_lighting_emissive_sphere():
+    """simple.tin analog: emissive sphere light above a white plane with
+    maxDepth 1 -> direct lighting only; plane brightness under the light
+    should be close to the analytic irradiance-based value and fall off
+    away from it."""
+    scene = Scene()
+    scene.camera = Camera(position=np.array([0.0, 2.0, 8.0], np.float32))
+    light = Primitive(
+        type=SPHERE,
+        radius=1.0,
+        start_transform=HostTransform(p=np.array([0.0, 10.0, 0.0], np.float32)),
+        material=Material(
+            color=np.zeros(3, np.float32),
+            emission=np.array([1.0, 1.0, 1.0], np.float32),
+            specular=0.0,
+            roughness=1.0,
+        ),
+        light_samples=1,
+    )
+    floor = Primitive(
+        type=PLANE,
+        plane=np.array([0, 1, 0, 0], np.float32),
+        material=Material(
+            color=np.ones(3, np.float32), specular=0.0, roughness=1.0
+        ),
+    )
+    scene.add_primitive(floor)
+    scene.add_primitive(light)
+    scene.options = Options(width=32, height=32, max_depth=2)
+
+    accum = render(scene, spp=32, seed=2, options=scene.options)
+    img = _resolve_mean(accum)
+    assert np.isfinite(img).all()
+    # the plane fills the lower half of the image and must be lit
+    lower = img[24:, 8:24].mean()
+    assert lower > 0.005, lower
+    # sky region (upper area away from the light) is black
+    assert img[:4, :4].mean() < 1e-3
+
+
+def test_mesh_light_and_termination():
+    """Mesh area light: quad light above a plane (cornell-style); radiance
+    finite, nonzero, and rays terminate on the light (no double counting
+    blowup)."""
+    quad = Mesh(
+        positions=np.array(
+            [[-0.5, 0, -0.5], [0.5, 0, -0.5], [0.5, 0, 0.5], [-0.5, 0, 0.5]],
+            np.float32,
+        ),
+        indices=np.array([[0, 2, 1], [0, 3, 2]], np.int32),
+    )
+    scene = Scene()
+    scene.camera = Camera(position=np.array([0.0, 1.0, 4.0], np.float32))
+    scene.add_primitive(
+        Primitive(
+            type=PLANE,
+            plane=np.array([0, 1, 0, 0], np.float32),
+            material=Material(color=np.full(3, 0.7, np.float32), roughness=1.0, specular=0.1),
+        )
+    )
+    scene.add_primitive(
+        Primitive(
+            type=MESH,
+            mesh=quad,
+            start_transform=HostTransform(p=np.array([0.0, 2.0, 0.0], np.float32)),
+            material=Material(
+                color=np.zeros(3, np.float32),
+                emission=np.full(3, 10.0, np.float32),
+            ),
+            light_samples=1,
+        )
+    )
+    scene.options = Options(width=24, height=24, max_depth=4)
+    accum = render(scene, spp=24, seed=3, options=scene.options)
+    img = _resolve_mean(accum)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01
+    assert img.min() >= 0.0
+
+
+def test_motion_blur_spreads_highlight():
+    """A small emissive sphere translating across the frame with the shutter
+    open must light pixels along its sweep (motion blur)."""
+    scene = Scene()
+    scene.camera = Camera(
+        position=np.array([0.0, 0.0, 5.0], np.float32),
+        shutter_start=0.0,
+        shutter_end=1.0,
+    )
+    moving = Primitive(
+        type=SPHERE,
+        radius=0.3,
+        start_transform=HostTransform(p=np.array([-1.5, 0.0, 0.0], np.float32)),
+        end_transform=HostTransform(p=np.array([1.5, 0.0, 0.0], np.float32)),
+        material=Material(
+            color=np.zeros(3, np.float32),
+            emission=np.full(3, 5.0, np.float32),
+        ),
+    )
+    scene.add_primitive(moving)
+    scene.options = Options(width=48, height=24, max_depth=1)
+    accum = render(scene, spp=16, seed=4, options=scene.options)
+    img = _resolve_mean(accum)
+    mid = img[10:14]  # central rows
+    # lit columns span far wider than the static sphere footprint
+    lit_cols = (mid.mean(axis=(0, 2)) > 0.05).sum()
+    assert lit_cols > 18, lit_cols
+
+
+def test_pathtrace_direct_api_shapes():
+    scene = Scene()
+    scene.add_primitive(Primitive(type=SPHERE, radius=1.0))
+    flat = scene.flatten()
+    cam = CameraParams.from_host(scene.camera)
+    o, d = generate_rays(cam, 16, 16, jnp.zeros((64, 2)) + 8.0)
+    rad = path_trace(flat, o, d, jnp.zeros((64,)), 3, jax.random.key(0))
+    assert rad.shape == (64, 3)
+    assert np.isfinite(np.asarray(rad)).all()

@@ -44,7 +44,7 @@ def intersect_ray_sphere(center, radius, origin, direction):
     hit = has_root & (t > 0.0)
     t = jnp.where(hit, t, INF)
     p = origin + direction * t[..., None]
-    normal = (p - center) / jnp.maximum(radius, 1e-30)
+    normal = (p - center) / jnp.maximum(radius, 1e-30)[..., None]
     return hit, t, normal
 
 

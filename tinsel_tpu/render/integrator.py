@@ -1,0 +1,175 @@
+"""Wavefront path-trace integrator: `lax.scan` over bounces, masked lanes.
+
+This is the reference's megaloop integrator (render.cpp:230-388) re-expressed
+the way its own GPU wavefront already hints (wavefront.cu:765-796 SoA path
+state): path state is a structure-of-arrays over a flat ray batch, the depth
+loop is a `lax.scan` whose body does
+
+    closest-hit trace -> medium absorption -> emission MIS -> next-event
+    estimation (probe + area lights) -> BSDF sample -> state update
+
+with every per-path branch (hit/miss, light-hit termination, pdf<=0 death,
+specular MIS exceptions, eta medium toggling) carried as masks. Dead lanes
+idle exactly like the reference's Disabled paths (wavefront.cu:918); ragged
+compaction can later swap in without changing semantics.
+
+Numerical contracts preserved: kRayEpsilon 1e-4 offsets along
+FaceForward(n, dir) (render.cpp:363), MIS sample-count weighting with
+kBsdfSamples = kProbeSamples = 1 (render.cpp:9-10), pdf clamp floors, Beer-
+Lambert absorption exp(-sigma t) (render.cpp:272), first-bounce direct
+emission, termination on explicit light hits (render.cpp:322-324), no
+Russian roulette.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..bsdf.disney import SPECULAR, bsdf_eval, bsdf_sample
+from ..core.math import basis_from_vector, dot, face_forward, lerp
+from ..scene.model import SceneFlat
+from .lights import RAY_EPS, K_BSDF_SAMPLES, K_PROBE_SAMPLES, sample_lights
+from .probe import probe_pdf, sky_eval
+from .trace import trace_closest
+
+
+def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
+    """Trace a batch of paths; returns (R, 3) radiance.
+
+    origins/dirs: (R, 3); times: (R,); key: single threefry key (all draws
+    derive from it by fold_in, independent across lanes by shape).
+    """
+    r = origins.shape[0]
+    f32 = jnp.float32
+
+    state = dict(
+        o=origins,
+        d=dirs,
+        eta=jnp.ones((r,), f32),
+        absorb=jnp.zeros((r, 3), f32),
+        rtype=jnp.zeros((r,), jnp.int32),  # last BSDF event type
+        bpdf=jnp.ones((r,), f32),  # pdf of the ray's generating BSDF sample
+        thr=jnp.ones((r, 3), f32),
+        rad=jnp.zeros((r, 3), f32),
+        alive=jnp.ones((r,), bool),
+    )
+
+    def bounce(st, i):
+        kb = jax.random.fold_in(key, i)
+        o, d = st["o"], st["d"]
+        hit = trace_closest(scene, o, d, times)
+        found = hit.prim >= 0
+        act_hit = st["alive"] & found
+        act_miss = st["alive"] & ~found
+        first = i == 0
+
+        # ------------------------------------------------ escaped rays: sky
+        if scene.probe is not None:
+            sky_pdf = probe_pdf(scene.probe, d)
+            ns = K_PROBE_SAMPLES + K_BSDF_SAMPLES
+            c_bsdf = K_BSDF_SAMPLES / ns
+            c_sky = K_PROBE_SAMPLES / ns
+            w_sky = c_bsdf * st["bpdf"] / jnp.maximum(
+                c_bsdf * st["bpdf"] + c_sky * sky_pdf, 1e-12
+            )
+            w_sky = jnp.where(first | (st["rtype"] == SPECULAR), 1.0, w_sky)
+        else:
+            w_sky = jnp.ones((r,), f32)
+        sky = sky_eval(scene, d)
+        rad = st["rad"] + jnp.where(
+            act_miss[..., None], w_sky[..., None] * sky * st["thr"], 0.0
+        )
+
+        # ------------------------------------------------------- hit shading
+        idx = jnp.maximum(hit.prim, 0)
+        m = scene.materials.select(idx)
+        in_air = st["eta"] == 1.0
+        out_eta = jnp.where(in_air, m.eta, 1.0)
+        out_absorb = jnp.where(in_air[..., None], m.absorption, 0.0)
+
+        thr = jnp.where(
+            act_hit[..., None],
+            st["thr"] * jnp.exp(-st["absorb"] * hit.t[..., None]),
+            st["thr"],
+        )
+
+        p = o + d * jnp.where(found, hit.t, 0.0)[..., None]
+        n = hit.normal
+
+        # emission: direct at depth 0; MIS-weighted on BSDF rays after
+        lsamp = scene.prim_light_samples[idx]
+        s_t = lerp(scene.prims.start_s[idx], scene.prims.end_s[idx], times)
+        area = scene.prim_local_area[idx] * s_t * s_t
+        has_area = area > 0.0
+        cos_term = jnp.clip(dot(-d, n), 1e-3, 1.0)
+        light_pdf = hit.t * hit.t / jnp.maximum(area * cos_term, 1e-12)
+        ns_e = lsamp.astype(f32) + K_BSDF_SAMPLES
+        c_b = K_BSDF_SAMPLES / ns_e
+        c_l = lsamp.astype(f32) / ns_e
+        w_em = c_b * st["bpdf"] / jnp.maximum(
+            c_b * st["bpdf"] + c_l * light_pdf, 1e-12
+        )
+        w_em = jnp.where(st["rtype"] == SPECULAR, 1.0, w_em)
+        # depth 0 -> weight 1; depth > 0 with zero area -> no emission pickup
+        # (a BSDF ray can only have been light-sampled if the light has area)
+        add_em = act_hit & (first | has_area)
+        rad = rad + jnp.where(
+            add_em[..., None],
+            jnp.where(first, 1.0, w_em)[..., None] * thr * m.emission,
+            0.0,
+        )
+
+        # next-event estimation
+        nee = sample_lights(
+            scene, m, st["eta"], out_eta, p, n, -d, times,
+            jax.random.fold_in(kb, 1),
+        )
+        rad = rad + jnp.where(act_hit[..., None], thr * nee, 0.0)
+
+        # terminate on explicit light sources
+        alive = act_hit & (lsamp == 0)
+
+        # BSDF sampling for the next bounce
+        u_axis, v_axis = basis_from_vector(n)
+        l, new_pdf, ev = bsdf_sample(
+            m, st["eta"], out_eta, u_axis, v_axis, n, -d,
+            jax.random.fold_in(kb, 2),
+        )
+        alive = alive & (new_pdf > 0.0)
+        f_val = bsdf_eval(m, st["eta"], out_eta, n, -d, l)
+
+        trans_side = dot(l, n) <= 0.0
+        eta = jnp.where(alive & trans_side, out_eta, st["eta"])
+        absorb = jnp.where((alive & trans_side)[..., None], out_absorb, st["absorb"])
+
+        thr_next = thr * f_val * (
+            jnp.abs(dot(n, l)) / jnp.maximum(new_pdf, 1e-12)
+        )[..., None]
+        thr = jnp.where(alive[..., None], thr_next, thr)
+
+        o = jnp.where(alive[..., None], p + face_forward(n, l) * RAY_EPS, o)
+        d = jnp.where(alive[..., None], l, d)
+
+        new_state = dict(
+            o=o,
+            d=d,
+            eta=eta,
+            absorb=absorb,
+            rtype=jnp.where(alive, ev, st["rtype"]),
+            bpdf=jnp.where(alive, new_pdf, st["bpdf"]),
+            thr=thr,
+            rad=rad,
+            alive=alive,
+        )
+        return new_state, None
+
+    state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth))
+    return state["rad"]
+
+
+def trace_normals(scene: SceneFlat, origins, dirs, times):
+    """Normals debug view (render.cpp:494-515): n*0.5+0.5, black on miss."""
+    hit = trace_closest(scene, origins, dirs, times)
+    n = hit.normal * 0.5 + 0.5
+    return jnp.where((hit.prim >= 0)[..., None], n, 0.0)

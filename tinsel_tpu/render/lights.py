@@ -1,0 +1,168 @@
+"""Next-event estimation: probe + area-light sampling with MIS.
+
+Functional parity with SampleLights (render.cpp:103-227):
+ - HDR-probe sample + shadow ray + balance-heuristic weight with
+   sample-count coefficients (render.cpp:107-144)
+ - per-light area sampling (sphere surface / mesh triangle via area CDF,
+   intersection.h:855-904), visibility by closest-hit with the distance
+   tolerance that enables portal sampling (render.cpp:175-185), area->solid
+   angle pdf conversion, pdf floor Max(1e-3, lightPdf) (render.cpp:217)
+ - emission taken from the *actually hit* primitive, so sampling a large
+   light through a portal works.
+
+All loops over lights are static (unrolled per scene topology); per-lane
+work is fully masked.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..bsdf.disney import bsdf_eval, bsdf_pdf
+from ..core.math import (
+    dot,
+    face_forward,
+    length_sq,
+    safe_normalize,
+    transform_point,
+    transform_vector,
+)
+from ..core.sampling import uniform_sample_sphere, uniform_sample_triangle
+from ..core.search import lower_bound
+from ..scene.model import MESH, SPHERE, SceneFlat
+from .probe import probe_sample_uniforms
+from .trace import prim_transform, trace_closest
+
+RAY_EPS = 1e-4  # kRayEpsilon, render.cpp:11
+K_BSDF_SAMPLES = 1.0
+K_PROBE_SAMPLES = 1.0
+
+
+def primitive_sample(scene: SceneFlat, j: int, times, key):
+    """Uniform-area sample on light primitive j at per-ray times.
+
+    Returns (pos (R,3), normal (R,3), area (R,)) in world space; area is the
+    world-space surface area at the interpolated scale (so the pdf matches
+    the true sampled density — the reference's s¹ mesh area and unscaled
+    sphere area are corrected to s²).
+    """
+    ps = scene.prim_static[j]
+    tr = prim_transform(scene, j, times)
+    shape = times.shape
+    u0 = jax.random.uniform(jax.random.fold_in(key, 0), shape)
+    u1 = jax.random.uniform(jax.random.fold_in(key, 1), shape)
+    u2 = jax.random.uniform(jax.random.fold_in(key, 2), shape)
+
+    if ps.type == SPHERE:
+        radius = scene.prims.radius[j]
+        d = uniform_sample_sphere(u0, u1)
+        pos = transform_point(tr, d * radius)
+        normal = safe_normalize(pos - tr.p)
+        area = 4.0 * jnp.pi * (radius * tr.s) ** 2
+    elif ps.type == MESH:
+        h = ps.mesh
+        tri = lower_bound(scene.pool.tri_cdf, jnp.full(shape, h.tri_offset, jnp.int32), h.num_tris, u0)
+        tri = jnp.clip(tri, h.tri_offset, h.tri_offset + h.num_tris - 1)
+        bu, bv = uniform_sample_triangle(u1, u2)
+        bw = 1.0 - bu - bv
+        a = scene.pool.tri_v0[tri]
+        b = scene.pool.tri_v1[tri]
+        c = scene.pool.tri_v2[tri]
+        n0 = scene.pool.tri_n0[tri]
+        n1 = scene.pool.tri_n1[tri]
+        n2 = scene.pool.tri_n2[tri]
+        pos_l = bu[..., None] * a + bv[..., None] * b + bw[..., None] * c
+        nrm_l = bu[..., None] * n0 + bv[..., None] * n1 + bw[..., None] * n2
+        pos = transform_point(tr, pos_l)
+        normal = safe_normalize(transform_vector(tr, nrm_l))
+        area = h.area * tr.s * tr.s
+    else:
+        raise ValueError("plane primitives cannot be area lights")
+
+    return pos, normal, area * jnp.ones(shape, jnp.float32)
+
+
+def sample_lights(scene: SceneFlat, mat, eta_i, eta_o, p, n, wo, times, key):
+    """Direct lighting at surface points p with shading normals n.
+
+    mat: per-lane material record (MaterialsFlat.select of the hit prims).
+    Returns (R, 3) radiance (NOT multiplied by throughput).
+    """
+    total = jnp.zeros_like(p)
+    shape = times.shape
+
+    draw = 0
+    if scene.probe is not None:
+        kp = jax.random.fold_in(key, draw)
+        draw += 1
+        r1 = jax.random.uniform(jax.random.fold_in(kp, 0), shape)
+        r2 = jax.random.uniform(jax.random.fold_in(kp, 1), shape)
+        wi, sky_color, sky_pdf = probe_sample_uniforms(scene.probe, r1, r2)
+
+        shadow_o = p + face_forward(n, wi) * RAY_EPS
+        sh = trace_closest(scene, shadow_o, wi, times)
+        visible = sh.prim < 0
+
+        bpdf = bsdf_pdf(mat, eta_i, eta_o, n, wo, wi)
+        f = bsdf_eval(mat, eta_i, eta_o, n, wo, wi)
+        ns = K_PROBE_SAMPLES + K_BSDF_SAMPLES
+        c_bsdf = K_BSDF_SAMPLES / ns
+        c_sky = K_PROBE_SAMPLES / ns
+        denom = c_bsdf * bpdf + c_sky * sky_pdf
+        weight = c_sky * sky_pdf / jnp.maximum(denom, 1e-12)
+        contrib = (
+            (weight * jnp.abs(dot(wi, n)) / jnp.maximum(sky_pdf, 1e-12))[..., None]
+            * sky_color
+            * f
+        )
+        ok = visible & (bpdf > 0.0) & (sky_pdf > 0.0) & (weight > 0.0)
+        total = total + jnp.where(ok[..., None], contrib, 0.0) / K_PROBE_SAMPLES
+
+    for j in scene.light_indices:
+        n_samples = scene.prim_static[j].light_samples
+        lj = jnp.zeros_like(p)
+        for s in range(n_samples):
+            ks = jax.random.fold_in(jax.random.fold_in(key, draw), s)
+            light_pos, light_nrm, area = primitive_sample(scene, j, times, ks)
+
+            wi_un = light_pos - p
+            dist = jnp.sqrt(jnp.maximum(length_sq(wi_un), 1e-20))
+            wi = wi_un / dist[..., None]
+
+            shadow_o = p + face_forward(n, wi) * RAY_EPS
+            sh = trace_closest(scene, shadow_o, wi, times)
+            hit_any = sh.prim >= 0
+            t = jnp.where(hit_any, sh.t, 0.0)
+
+            # portal-friendly acceptance: the shadow ray must land at the
+            # sampled distance (whatever emissive surface it lands on)
+            accept = hit_any & (jnp.abs(t - dist) <= 1e-2)
+
+            nl = jnp.abs(dot(light_nrm, wi))
+            accept = accept & (nl >= 1e-6)
+
+            light_pdf = (t * t) / jnp.maximum(area * nl, 1e-12)
+
+            bpdf = bsdf_pdf(mat, eta_i, eta_o, n, wo, wi)
+            f = bsdf_eval(mat, eta_i, eta_o, n, wo, wi)
+            accept = accept & (bpdf > 0.0)
+
+            ns_ = n_samples + K_BSDF_SAMPLES
+            c_bsdf = K_BSDF_SAMPLES / ns_
+            c_light = n_samples / ns_
+            weight = c_light * light_pdf / jnp.maximum(
+                c_bsdf * bpdf + c_light * light_pdf, 1e-12
+            )
+
+            emission = scene.materials.emission[jnp.maximum(sh.prim, 0)]
+            contrib = (
+                (weight * jnp.abs(dot(wi, n)) / jnp.maximum(light_pdf, 1e-3))[..., None]
+                * f
+                * emission
+            )
+            lj = lj + jnp.where(accept[..., None], contrib, 0.0)
+        draw += 1
+        total = total + lj / max(n_samples, 1)
+
+    return total

@@ -302,6 +302,10 @@ class SceneFlat:
     probe: Optional[ProbeFlat]
     sky_horizon: jax.Array  # (3,)
     sky_zenith: jax.Array  # (3,)
+    # per-primitive lookup tables for data-dependent gathers at hit points
+    prim_type: jax.Array = None  # (P,) i32
+    prim_light_samples: jax.Array = None  # (P,) i32
+    prim_local_area: jax.Array = None  # (P,) f32 (sphere: 4πr²; mesh: local area)
     # static structure
     prim_static: tuple = field(metadata=dict(static=True), default=())
     light_indices: tuple = field(metadata=dict(static=True), default=())
@@ -452,6 +456,15 @@ class Scene:
                 cdf_y=jnp.asarray(hp.cdf_y, jnp.float32),
             )
 
+        local_area = []
+        for i, p in enumerate(prims):
+            if p.type == SPHERE:
+                local_area.append(4.0 * np.pi * p.radius * p.radius)
+            elif p.type == MESH and p.mesh is not None:
+                local_area.append(float(p.mesh.area))
+            else:
+                local_area.append(0.0)
+
         return SceneFlat(
             prims=pf,
             materials=mf,
@@ -459,6 +472,11 @@ class Scene:
             probe=probe_flat,
             sky_horizon=jnp.asarray(self.sky.horizon, jnp.float32),
             sky_zenith=jnp.asarray(self.sky.zenith, jnp.float32),
+            prim_type=jnp.asarray([p.type for p in prims], jnp.int32),
+            prim_light_samples=jnp.asarray(
+                [p.light_samples for p in prims], jnp.int32
+            ),
+            prim_local_area=jnp.asarray(local_area, jnp.float32),
             prim_static=tuple(prim_static),
             light_indices=light_indices,
         )
