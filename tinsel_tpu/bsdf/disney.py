@@ -77,7 +77,7 @@ def fresnel_dielectric(v_dot_n, eta_i, eta_o):
     returns 1 under total internal reflection."""
     sin2_t = sqr(eta_i / eta_o) * (1.0 - v_dot_n * v_dot_n)
     tir = sin2_t > 1.0
-    l_dot_n = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    l_dot_n = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     eta = eta_o / jnp.maximum(eta_i, _EPS)
     denom1 = v_dot_n + eta * l_dot_n
     denom2 = l_dot_n + eta * v_dot_n
@@ -94,7 +94,7 @@ def refract(wi, n, eta):
     sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     sin2_t = eta * eta * sin2_i
     ok = sin2_t < 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     wt = -wi * eta[..., None] + (eta * cos_i - cos_t)[..., None] * n
     return ok, wt
 
@@ -148,7 +148,7 @@ def _sample_gtr2_half(u, v, n, view, r1, r2, roughness):
     a = jnp.maximum(0.001, roughness)
     phi = r1 * TWO_PI
     cos_theta = jnp.sqrt((1.0 - r2) / (1.0 + (sqr(a) - 1.0) * r2))
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - sqr(cos_theta)))
+    sin_theta = jnp.sqrt(jnp.maximum(1e-12, 1.0 - sqr(cos_theta)))
     half = (
         u * (sin_theta * jnp.cos(phi))[..., None]
         + v * (sin_theta * jnp.sin(phi))[..., None]
@@ -256,7 +256,7 @@ def bsdf_eval(m, eta_i, eta_o, n, v, l):
 
     # ---- reflective side (brdf), weighted by 1 - m.transmission
     # below horizon: thin-shell subsurface with sqrt(color)
-    s = jnp.sqrt(jnp.maximum(cdlin, 0.0))
+    s = jnp.sqrt(jnp.maximum(cdlin, 1e-12))
     fl_b = schlick_fresnel(jnp.abs(n_dot_l))
     fv_b = schlick_fresnel(n_dot_v)
     fd_b = (1.0 - 0.5 * fl_b) * (1.0 - 0.5 * fv_b)

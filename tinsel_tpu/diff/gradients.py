@@ -1,0 +1,54 @@
+"""Differentiable rendering: loss + gradients w.r.t. scene & camera params.
+
+The forward path (render/integrator.py) is built to be reverse-differentiable
+end-to-end:
+ - BVH traversal is a discrete argmin run under stop_gradient; the hit is
+   re-evaluated differentiably (render/trace.py), so gradients reach mesh
+   vertices, primitive transforms, and ray parameters,
+ - all CDF inversions return integer indices (no gradient needed); sampled
+   light positions are reparameterized through the light's transform, so
+   light-geometry gradients flow through the NEE term,
+ - material parameters flow through bsdf_eval / pdfs / MIS weights
+   (attached estimator; sampling decisions are piecewise-constant in theta).
+
+`render_loss_and_grads` is the flagship "training step" used by the bench
+and the multi-chip dry run: L2 loss of the resolved linear image against a
+target, grads w.r.t. (materials, camera).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..render.renderer import render_pass
+from ..scene.model import SceneFlat
+
+
+def linear_image(accum):
+    """Resolve accumulation RGBA to a linear radiance image."""
+    w = jnp.maximum(accum[..., 3:4], 1e-6)
+    return accum[..., :3] / w
+
+
+def render_loss(scene: SceneFlat, cam, key, target, **opts):
+    accum = render_pass(scene, cam, key, **opts)
+    img = linear_image(accum)
+    return jnp.mean((img - target) ** 2)
+
+
+def render_loss_and_grads(scene: SceneFlat, cam, key, target, **opts):
+    """Returns (loss, (grad_materials, grad_camera)).
+
+    Differentiates w.r.t. the material table and camera parameters — the
+    gradient surface BASELINE.json asks to verify against finite
+    differences.
+    """
+
+    def loss_fn(materials, camera):
+        s = dataclasses.replace(scene, materials=materials)
+        return render_loss(s, camera, key, target, **opts)
+
+    return jax.value_and_grad(loss_fn, argnums=(0, 1))(scene.materials, cam)

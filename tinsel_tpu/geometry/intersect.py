@@ -32,7 +32,7 @@ def intersect_ray_sphere(center, radius, origin, direction):
     c = dot(q, q) - radius * radius
     disc = b * b - 4.0 * c  # a == 1 for normalized directions
     has_root = disc >= 0.0
-    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 1e-12))
     sign_b = jnp.where(b >= 0.0, 1.0, -1.0)
     tq = -0.5 * (b + sign_b * sqrt_disc)
     t0 = tq  # / a, a == 1
@@ -42,9 +42,12 @@ def intersect_ray_sphere(center, radius, origin, direction):
     # if the near root is behind the origin use the far root (inside sphere)
     t = jnp.where(tmin < 0.0, tmax, tmin)
     hit = has_root & (t > 0.0)
-    t = jnp.where(hit, t, INF)
-    p = origin + direction * t[..., None]
+    # normal from a finite t only — an inf hit point in the dead branch of a
+    # downstream jnp.where would poison gradients (0 * inf = NaN)
+    t_fin = jnp.where(hit, t, 0.0)
+    p = origin + direction * t_fin[..., None]
     normal = (p - center) / jnp.maximum(radius, 1e-30)[..., None]
+    t = jnp.where(hit, t, INF)
     return hit, t, normal
 
 

@@ -88,13 +88,17 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
         out_eta = jnp.where(in_air, m.eta, 1.0)
         out_absorb = jnp.where(in_air[..., None], m.absorption, 0.0)
 
+        # inf-free hit distance: misses must never feed arithmetic, or their
+        # NaN/inf poisons *gradients* through jnp.where (the where-grad trap)
+        t_safe = jnp.where(found, hit.t, 0.0)
+
         thr = jnp.where(
             act_hit[..., None],
-            st["thr"] * jnp.exp(-st["absorb"] * hit.t[..., None]),
+            st["thr"] * jnp.exp(-st["absorb"] * t_safe[..., None]),
             st["thr"],
         )
 
-        p = o + d * jnp.where(found, hit.t, 0.0)[..., None]
+        p = o + d * t_safe[..., None]
         n = hit.normal
 
         # emission: direct at depth 0; MIS-weighted on BSDF rays after
@@ -103,7 +107,7 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
         area = scene.prim_local_area[idx] * s_t * s_t
         has_area = area > 0.0
         cos_term = jnp.clip(dot(-d, n), 1e-3, 1.0)
-        light_pdf = hit.t * hit.t / jnp.maximum(area * cos_term, 1e-12)
+        light_pdf = t_safe * t_safe / jnp.maximum(area * cos_term, 1e-12)
         ns_e = lsamp.astype(f32) + K_BSDF_SAMPLES
         c_b = K_BSDF_SAMPLES / ns_e
         c_l = lsamp.astype(f32) / ns_e

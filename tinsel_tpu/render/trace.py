@@ -36,6 +36,7 @@ from ..core.math import (
 from ..geometry.intersect import (
     intersect_ray_plane,
     intersect_ray_sphere,
+    intersect_ray_tri,
 )
 from ..scene.model import MESH, PLANE, SPHERE, SceneFlat
 
@@ -81,14 +82,26 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
             h = ps.mesh
             o_l = inverse_transform_point(tr, origins)
             d_l = inverse_transform_vector(tr, dirs)
-            # local t equals world t: the transform maps the ray's parameter
-            # linearly (uniform scale folded into |d_l|), so best_t is a
-            # valid truncation bound across primitives.
-            t, tri, u, v, w, n_geo = intersect_mesh(
-                scene.pool, h.node_offset, h.tri_offset, o_l, d_l, best_t
+            # Traversal is a *discrete search* for the winning triangle: run
+            # it under stop_gradient (lax.while_loop has no reverse rule and
+            # which-triangle-wins is piecewise constant anyway), then
+            # re-evaluate the intersection differentiably at the found
+            # triangle so gradients flow to vertices/transforms/ray params.
+            sg = jax.lax.stop_gradient
+            _, tri, *_ = intersect_mesh(
+                sg(scene.pool), h.node_offset, h.tri_offset, sg(o_l), sg(d_l),
+                sg(best_t),
             )
             hit = tri >= 0
             gt = h.tri_offset + jnp.maximum(tri, 0)
+            _, t, u, v, w, n_geo = intersect_ray_tri(
+                scene.pool.tri_v0[gt], scene.pool.tri_v1[gt],
+                scene.pool.tri_v2[gt], o_l, d_l,
+            )
+            # local t equals world t: the transform maps the ray's parameter
+            # linearly (uniform scale folded into |d_l|), so best_t is a
+            # valid truncation bound across primitives.
+            t = jnp.where(hit, t, INF)
             ns = (
                 u[..., None] * scene.pool.tri_n0[gt]
                 + v[..., None] * scene.pool.tri_n1[gt]
