@@ -1,0 +1,262 @@
+"""Mesh importers: OBJ, PLY (ascii/binary), and an .npz fast-cache.
+
+Capability parity with mesh.cpp's import pipeline (mesh.cpp:105-132 dispatch,
+OBJ with vertex dedup + quad triangulation mesh.cpp:370-591, PLY
+ascii/big/little-endian mesh.cpp:134-289, `.bin` prebuilt cache
+mesh.cpp:809-880). The cache here is an .npz holding positions / normals /
+indices / CDF / flat BVH arrays — same idea as the reference's -convert
+output, in a NumPy-native container.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+import time
+
+import numpy as np
+
+from ...accel.build import BVH
+from ..model import Mesh
+
+
+_CACHE_DIR = os.environ.get(
+    "TINSEL_MESH_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))), ".mesh_cache"),
+)
+
+
+def _cache_path_for(path: str) -> str:
+    """Cache file in the framework's own cache dir — never next to the asset
+    (asset trees may be read-only or not ours to write)."""
+    key = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
+    base = os.path.basename(path)
+    return os.path.join(_CACHE_DIR, f"{base}.{key}.npz")
+
+
+def import_mesh(path: str, cache: bool = True) -> Mesh:
+    """Import + build (normals, CDF, BVH) with transparent .npz caching."""
+    cache_path = _cache_path_for(path)
+    if cache and os.path.exists(cache_path) and os.path.getmtime(
+        cache_path
+    ) >= os.path.getmtime(path):
+        try:
+            return load_mesh_cache(cache_path)
+        except Exception:
+            pass
+
+    ext = os.path.splitext(path)[1].lower()
+    t0 = time.perf_counter()
+    if ext == ".obj":
+        mesh = import_obj(path)
+    elif ext == ".ply":
+        mesh = import_ply(path)
+    elif ext == ".npz":
+        return load_mesh_cache(path)
+    else:
+        raise ValueError(f"unsupported mesh format: {path}")
+    mesh.build()
+    dt = (time.perf_counter() - t0) * 1000.0
+    print(f"Imported mesh {path} ({len(mesh.indices)} tris) in {dt:.1f}ms")
+    if cache:
+        try:
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            save_mesh_cache(cache_path, mesh)
+        except OSError:
+            pass
+    return mesh
+
+
+def save_mesh_cache(path: str, mesh: Mesh):
+    b = mesh.bvh
+    np.savez_compressed(
+        path,
+        positions=mesh.positions,
+        normals=mesh.normals,
+        indices=mesh.indices,
+        cdf=mesh.cdf,
+        area=np.float32(mesh.area),
+        bvh_lower=b.lower,
+        bvh_upper=b.upper,
+        bvh_left=b.left,
+        bvh_right=b.right,
+        bvh_leaf=b.leaf,
+    )
+
+
+def load_mesh_cache(path: str) -> Mesh:
+    z = np.load(path)
+    mesh = Mesh(
+        positions=z["positions"],
+        indices=z["indices"],
+        normals=z["normals"],
+        cdf=z["cdf"],
+        area=float(z["area"]),
+    )
+    mesh.bvh = BVH(
+        lower=z["bvh_lower"],
+        upper=z["bvh_upper"],
+        left=z["bvh_left"],
+        right=z["bvh_right"],
+        leaf=z["bvh_leaf"],
+    )
+    return mesh
+
+
+# ------------------------------------------------------------------------ OBJ
+
+
+def import_obj(path: str) -> Mesh:
+    """Wavefront OBJ: v/vn parsed; faces triangulated (fan); (v, vn) pairs
+    deduplicated; normals recomputed if absent."""
+    positions = []
+    normals = []
+    verts = {}  # (vi, ni) -> new index
+    out_pos = []
+    out_nrm = []
+    faces = []
+    has_normals = False
+
+    def resolve(token: str) -> int:
+        nonlocal has_normals
+        parts = token.split("/")
+        vi = int(parts[0])
+        vi = vi - 1 if vi > 0 else len(positions) + vi
+        ni = None
+        if len(parts) == 3 and parts[2]:
+            ni = int(parts[2])
+            ni = ni - 1 if ni > 0 else len(normals) + ni
+            has_normals = True
+        key = (vi, ni)
+        idx = verts.get(key)
+        if idx is None:
+            idx = len(out_pos)
+            verts[key] = idx
+            out_pos.append(positions[vi])
+            out_nrm.append(normals[ni] if ni is not None else (0.0, 0.0, 0.0))
+        return idx
+
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                positions.append((float(p[1]), float(p[2]), float(p[3])))
+            elif line.startswith("vn "):
+                p = line.split()
+                normals.append((float(p[1]), float(p[2]), float(p[3])))
+            elif line.startswith("f "):
+                toks = line.split()[1:]
+                idx = [resolve(t) for t in toks]
+                for k in range(1, len(idx) - 1):  # fan triangulation
+                    faces.append((idx[0], idx[k], idx[k + 1]))
+
+    mesh = Mesh(
+        positions=np.asarray(out_pos, np.float32),
+        indices=np.asarray(faces, np.int32),
+    )
+    if has_normals:
+        n = np.asarray(out_nrm, np.float32)
+        norm = np.linalg.norm(n, axis=-1, keepdims=True)
+        ok = norm[:, 0] > 1e-8
+        mesh.normals = np.where(ok[:, None], n / np.maximum(norm, 1e-8), 0.0).astype(np.float32)
+        if not ok.all():
+            mesh.normals = None  # partial normals: recompute all
+    return mesh
+
+
+# ------------------------------------------------------------------------ PLY
+
+
+def import_ply(path: str) -> Mesh:
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.find(b"end_header\n")
+    assert header_end >= 0, "malformed PLY"
+    header = data[: header_end].decode("ascii", "replace").splitlines()
+    body = data[header_end + len(b"end_header\n") :]
+
+    fmt = "ascii"
+    n_vertex = n_face = 0
+    vertex_props = []
+    cur_element = None
+    for line in header:
+        t = line.split()
+        if not t:
+            continue
+        if t[0] == "format":
+            fmt = t[1]
+        elif t[0] == "element":
+            cur_element = t[1]
+            if t[1] == "vertex":
+                n_vertex = int(t[2])
+            elif t[1] == "face":
+                n_face = int(t[2])
+        elif t[0] == "property" and cur_element == "vertex":
+            if t[1] == "list":
+                continue
+            vertex_props.append((t[1], t[2]))
+
+    prop_names = [p[1] for p in vertex_props]
+    xi, yi, zi = (prop_names.index(c) for c in ("x", "y", "z"))
+    has_n = all(c in prop_names for c in ("nx", "ny", "nz"))
+
+    if fmt == "ascii":
+        text = body.decode("ascii", "replace").split("\n")
+        vp = np.array(
+            [[float(v) for v in text[i].split()] for i in range(n_vertex)],
+            np.float64,
+        )
+        positions = vp[:, [xi, yi, zi]].astype(np.float32)
+        normals = (
+            vp[:, [prop_names.index("nx"), prop_names.index("ny"), prop_names.index("nz")]].astype(np.float32)
+            if has_n
+            else None
+        )
+        faces = []
+        for i in range(n_vertex, n_vertex + n_face):
+            t = [int(v) for v in text[i].split()]
+            cnt, idx = t[0], t[1:]
+            for k in range(1, cnt - 1):
+                faces.append((idx[0], idx[k], idx[k + 1]))
+        indices = np.asarray(faces, np.int32)
+    else:
+        endian = "<" if fmt == "binary_little_endian" else ">"
+        type_map = {
+            "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+            "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+            "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+        }
+        vdt = np.dtype([(p[1], endian + type_map[p[0]]) for p in vertex_props])
+        varr = np.frombuffer(body, vdt, count=n_vertex)
+        positions = np.stack(
+            [varr["x"], varr["y"], varr["z"]], axis=-1
+        ).astype(np.float32)
+        normals = (
+            np.stack([varr["nx"], varr["ny"], varr["nz"]], axis=-1).astype(np.float32)
+            if has_n
+            else None
+        )
+        pos = n_vertex * vdt.itemsize
+        faces = []
+        u32 = struct.Struct(endian + "I")
+        i32 = struct.Struct(endian + "i")
+        for _ in range(n_face):
+            cnt = body[pos]
+            pos += 1
+            idx = [
+                i32.unpack_from(body, pos + 4 * k)[0] for k in range(cnt)
+            ]
+            pos += 4 * cnt
+            for k in range(1, cnt - 1):
+                faces.append((idx[0], idx[k], idx[k + 1]))
+        indices = np.asarray(faces, np.int32)
+
+    mesh = Mesh(positions=positions, indices=indices)
+    if normals is not None and np.isfinite(normals).all():
+        norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+        if (norm[:, 0] > 1e-8).all():
+            mesh.normals = (normals / norm).astype(np.float32)
+    return mesh
