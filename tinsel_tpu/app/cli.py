@@ -1,0 +1,164 @@
+"""Command-line renderer (main.cpp parity, headless-first).
+
+Flags mirror the reference CLI (main.cpp:143-171): `-spp= -width= -height=
+-exposure= -maxdepth=` plus `-convert` (mesh -> cache). Batch animation mode
+triggers on a `%d` pattern in the scene filename (main.cpp:105-118): each
+frame renders to completion and writes `frame_N.png`. Additions over the
+reference: `-o` output path, `-mode normals`, `-denoise` (NLM pass),
+`-checkpoint/-resume` for preemptible renders, `-seed`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="tinsel-tpu", description="TPU-native path tracer"
+    )
+    p.add_argument("scene", nargs="?", help=".tin/.json scene (use %%d for batch)")
+    p.add_argument("-spp", type=int, default=None, help="samples per pixel")
+    p.add_argument("-width", type=int, default=None)
+    p.add_argument("-height", type=int, default=None)
+    p.add_argument("-exposure", type=float, default=None)
+    p.add_argument("-maxdepth", type=int, default=None)
+    p.add_argument("-clamp", type=float, default=None)
+    p.add_argument("-mode", choices=["pathtrace", "normals"], default=None)
+    p.add_argument("-o", "--output", default=None, help="output PNG path")
+    p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-denoise", action="store_true", help="NLM pass on output")
+    p.add_argument("-nlm-falloff", type=float, default=200.0)
+    p.add_argument("-nlm-radius", type=int, default=1)
+    p.add_argument("-checkpoint", default=None, help="checkpoint file path")
+    p.add_argument("-checkpoint-every", type=int, default=64)
+    p.add_argument("-resume", action="store_true")
+    p.add_argument("-convert", default=None, metavar="MESH",
+                   help="convert a mesh to the .npz cache format and exit")
+    p.add_argument("-batch-start", type=int, default=0)
+    p.add_argument("-batch-count", type=int, default=1_000_000)
+    return p
+
+
+def load_scene(path: str):
+    from ..scene.loaders.tin import load_tin
+
+    if path.endswith(".json"):
+        from ..scene.loaders.tungsten import load_tungsten
+
+        return load_tungsten(path)
+    return load_tin(path)
+
+
+def render_one(scene, args, out_path: str):
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.color import resolve
+    from ..io.png import write_png
+    from ..render.camera import CameraParams
+    from ..render.renderer import make_render_pass
+    from ..render.nlm import nlm_filter
+    from ..parallel.checkpoint import load_checkpoint, save_checkpoint
+
+    o = scene.options
+    if args.spp is not None:
+        o.max_samples = args.spp
+    if args.width is not None:
+        o.width = args.width
+    if args.height is not None:
+        o.height = args.height
+    if args.exposure is not None:
+        o.exposure = args.exposure
+    if args.maxdepth is not None:
+        o.max_depth = args.maxdepth
+    if args.clamp is not None:
+        o.clamp = args.clamp
+    if args.mode is not None:
+        o.mode = args.mode
+
+    flat = scene.flatten()
+    cam = CameraParams.from_host(scene.camera)
+    pass_fn = jax.jit(make_render_pass(o))
+    key = jax.random.key(args.seed)
+
+    accum = jnp.zeros((o.height, o.width, 4), jnp.float32)
+    start_spp = 0
+    if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
+        a, start_spp, seed, _ = load_checkpoint(args.checkpoint)
+        accum = jnp.asarray(a)
+        print(f"resumed {args.checkpoint} at {start_spp} spp")
+
+    spp = o.max_samples if o.mode == "pathtrace" else 1
+    t0 = time.perf_counter()
+    for s in range(start_spp, spp):
+        accum = accum + pass_fn(flat, cam, jax.random.fold_in(key, s))
+        if args.checkpoint and (s + 1) % args.checkpoint_every == 0:
+            accum.block_until_ready()
+            save_checkpoint(args.checkpoint, np.asarray(accum), s + 1, args.seed)
+            print(f"checkpoint @ {s + 1} spp")
+    accum.block_until_ready()
+    dt = time.perf_counter() - t0
+    done = max(spp - start_spp, 1)
+    print(
+        f"{spp} spp in {dt:.2f}s ({dt / done * 1000:.1f} ms/spp, "
+        f"{o.width * o.height * done / max(dt, 1e-9) / 1e6:.2f} Mpaths/s)"
+    )
+
+    if o.mode == "normals":
+        img = np.asarray(jnp.clip(accum[..., :3], 0.0, 1.0))
+    else:
+        img = resolve(accum, exposure=o.exposure, limit=o.limit)
+        if args.denoise:
+            img = nlm_filter(img, args.nlm_falloff, args.nlm_radius)
+        img = np.asarray(img)
+    from ..io.png import write_png as _wp
+
+    _wp(out_path, img)
+    print(f"wrote {out_path}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.convert:
+        from ..scene.loaders.mesh_io import import_mesh, save_mesh_cache
+
+        mesh = import_mesh(args.convert, cache=False)
+        out = os.path.splitext(args.convert)[0] + ".npz"
+        save_mesh_cache(out, mesh)
+        print(f"converted {args.convert} -> {out}")
+        return 0
+
+    if not args.scene:
+        print("error: no scene file given", file=sys.stderr)
+        return 2
+
+    if "%" in args.scene:  # batch animation mode
+        frame = args.batch_start
+        rendered = 0
+        while rendered < args.batch_count:
+            path = args.scene % frame
+            if not os.path.exists(path):
+                break
+            scene = load_scene(path)
+            out = args.output or f"frame_{frame}.png"
+            out = out % frame if "%" in out else out
+            render_one(scene, args, out)
+            frame += 1
+            rendered += 1
+        return 0
+
+    scene = load_scene(args.scene)
+    out = args.output or os.path.splitext(os.path.basename(args.scene))[0] + ".png"
+    render_one(scene, args, out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
