@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 def main():
     from tinsel_tpu.scene.presets import cornell_scene
-    from tinsel_tpu.render.renderer import make_render_pass
+    from tinsel_tpu.render.renderer import make_accumulate_fn
     from tinsel_tpu.render.camera import CameraParams
     from tinsel_tpu.diff.gradients import render_loss_and_grads
 
@@ -33,32 +33,37 @@ def main():
     n_lights = len(flat.light_indices)
     rays_per_pass = width * height * max_depth * (1 + n_lights)
 
-    pass_fn = jax.jit(make_render_pass(scene.options))
+    spp_chunk = 16
+    step = make_accumulate_fn(scene.options, spp_chunk)
     key = jax.random.key(0)
+    acc0 = jnp.zeros((height, width, 4), jnp.float32)
 
     # warmup / compile
-    pass_fn(flat, cam, key).block_until_ready()
+    step(acc0, flat, cam, key, 0).block_until_ready()
 
-    n_timed = 16
+    n_chunks = 4
     t0 = time.perf_counter()
-    acc = jnp.zeros((height, width, 4), jnp.float32)
-    for s in range(n_timed):
-        acc = acc + pass_fn(flat, cam, jax.random.fold_in(key, s))
+    acc = acc0
+    for c in range(n_chunks):
+        acc = step(acc, flat, cam, key, c)
     acc.block_until_ready()
     dt = time.perf_counter() - t0
+    n_timed = n_chunks * spp_chunk
     fwd_rays_per_sec = rays_per_pass * n_timed / dt
 
-    # fwd+bwd step (material+camera gradients)
+    # fwd+bwd step (material+camera gradients); keys derived on device
     opts = dict(width=width, height=height, max_depth=max_depth)
     target = jnp.zeros((height, width, 3), jnp.float32)
     grad_fn = jax.jit(
-        lambda f, c, k: render_loss_and_grads(f, c, k, target, **opts)
+        lambda f, c, k, s: render_loss_and_grads(
+            f, c, jax.random.fold_in(k, s), target, **opts
+        )
     )
-    grad_fn(flat, cam, key)[0].block_until_ready()
-    n_grad = 4
+    grad_fn(flat, cam, key, 0)[0].block_until_ready()
+    n_grad = 8
     t0 = time.perf_counter()
     for s in range(n_grad):
-        loss, _ = grad_fn(flat, cam, jax.random.fold_in(key, 100 + s))
+        loss, _ = grad_fn(flat, cam, key, s)
     loss.block_until_ready()
     dt_g = time.perf_counter() - t0
     fwdbwd_rays_per_sec = rays_per_pass * n_grad / dt_g

@@ -124,8 +124,11 @@ def test_bvh_native_matches_python_structurally():
 
 
 def _pool_from_mesh(positions, indices):
+    from tinsel_tpu.accel.build import compute_skip_links
+
     lo, hi = triangle_bounds(positions, indices)
     bvh = build_bvh(lo, hi, use_native=False)
+    skip = compute_skip_links(bvh)
     v = positions[indices]  # (T, 3, 3)
     t = v.shape[0]
     # area-weighted vertex normals, deindexed per-corner (flat here)
@@ -141,6 +144,7 @@ def _pool_from_mesh(positions, indices):
         node_left=jnp.asarray(bvh.left),
         node_right=jnp.asarray(bvh.right),
         node_leaf=jnp.asarray(bvh.leaf),
+        node_skip=jnp.asarray(skip),
         tri_v0=jnp.asarray(v[:, 0], jnp.float32),
         tri_v1=jnp.asarray(v[:, 1], jnp.float32),
         tri_v2=jnp.asarray(v[:, 2], jnp.float32),
@@ -202,3 +206,54 @@ def test_traversal_respects_tmax():
             pool, 0, 0, o, d, jnp.asarray([float(t_any[0]) * 0.5], np.float32)
         )
         assert not np.isfinite(float(t2[0]))
+
+
+def test_stackless_matches_stack_traversal():
+    from tinsel_tpu.accel.traverse import intersect_mesh_stack
+
+    positions, indices = _random_tri_soup(500, seed=7)
+    pool = _pool_from_mesh(positions, indices)
+    rng = np.random.default_rng(8)
+    n_rays = 128
+    origins = rng.uniform(-15, 15, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    tmax = jnp.full((n_rays,), np.inf, np.float32)
+
+    t_a, tri_a, *_ = intersect_mesh(pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax)
+    t_b, tri_b, *_ = intersect_mesh_stack(pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax)
+    np.testing.assert_array_equal(np.asarray(tri_a), np.asarray(tri_b))
+    np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), rtol=1e-5)
+
+
+def test_brute_small_mesh_matches_traversal():
+    positions, indices = _random_tri_soup(12, seed=9)
+    pool = _pool_from_mesh(positions, indices)
+    rng = np.random.default_rng(10)
+    n_rays = 64
+    origins = rng.uniform(-15, 15, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    tmax = jnp.full((n_rays,), np.inf, np.float32)
+    # num_tris <= 16 triggers the brute path
+    t_a, tri_a, *_ = intersect_mesh(pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax, num_tris=12)
+    t_b, tri_b, *_ = intersect_mesh(pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax)
+    np.testing.assert_array_equal(np.asarray(tri_a), np.asarray(tri_b))
+    np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), rtol=1e-5)
+
+
+def test_skip_links_cover_tree():
+    from tinsel_tpu.accel.build import compute_skip_links
+
+    positions, indices = _random_tri_soup(100, seed=11)
+    lo, hi = triangle_bounds(positions, indices)
+    bvh = build_bvh(lo, hi, use_native=False)
+    skip = compute_skip_links(bvh)
+    # walking cur -> (left if internal else skip) with "always descend"
+    # visits every node exactly once (full DFS)
+    visited = []
+    cur = 0
+    while cur != -1:
+        visited.append(cur)
+        cur = int(bvh.left[cur]) if not bvh.leaf[cur] else int(skip[cur])
+    assert sorted(visited) == list(range(bvh.num_nodes))

@@ -140,6 +140,28 @@ def build_bvh(lowers: np.ndarray, uppers: np.ndarray, max_items_per_leaf: int = 
     )
 
 
+def compute_skip_links(bvh: BVH) -> np.ndarray:
+    """Escape ("skip") links for stackless DFS traversal.
+
+    skip[i] = the node visited next when the subtree rooted at i is done
+    (or when i's AABB is missed); -1 terminates. Traversal then keeps ONE
+    int of state per ray instead of a stack — the layout TPU lockstep
+    traversal needs (a per-lane stack is a huge scatter per step).
+    """
+    n = bvh.num_nodes
+    skip = np.full(n, -1, np.int32)
+    # iterative DFS with explicit (node, escape) stack — host side only
+    stack = [(0, -1)]
+    while stack:
+        node, esc = stack.pop()
+        skip[node] = esc
+        if not bvh.leaf[node]:
+            l, r = int(bvh.left[node]), int(bvh.right[node])
+            stack.append((r, esc))  # right subtree escapes to parent's escape
+            stack.append((l, r))  # left subtree escapes to right child
+    return skip
+
+
 def triangle_bounds(positions: np.ndarray, indices: np.ndarray):
     """AABBs per triangle. positions (V,3), indices (T,3)."""
     tris = positions[indices]  # (T, 3, 3)

@@ -43,6 +43,7 @@ class MeshPool:
     node_left: jax.Array  # (N,) i32
     node_right: jax.Array  # (N,) i32
     node_leaf: jax.Array  # (N,) i32
+    node_skip: jax.Array  # (N,) i32 escape links for stackless DFS (-1 = done)
 
     # deindexed triangles (one row per triangle)
     tri_v0: jax.Array  # (T, 3) f32
@@ -141,14 +142,110 @@ def _traverse_mesh_one(pool: MeshPool, node_offset, tri_offset, o, d, tmax):
     return best_t, best_tri, bu, bv, bw, bn
 
 
-def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax):
-    """Vectorized closest-hit against one mesh sub-BVH.
-
-    origins/dirs: (R, 3); tmax: (R,). Returns SoA hit record with t=inf on
-    miss. node_offset/tri_offset may be Python ints (static) or scalars.
-    """
+def intersect_mesh_stack(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax):
+    """Per-ray-stack traversal (reference-shaped; kept as the oracle for the
+    stackless path — a vmapped 64-deep stack is a large scatter per step and
+    is slow on TPU)."""
     f = jax.vmap(
         partial(_traverse_mesh_one, pool, node_offset, tri_offset),
         in_axes=(0, 0, 0),
     )
     return f(origins, dirs, tmax)
+
+
+def _refit_hit(pool: MeshPool, tri_offset, origins, dirs, best_tri, best_t):
+    """Recompute (u, v, w, n_geo) at the winning triangle — one vectorized
+    triangle test instead of carrying barycentrics through the loop."""
+    gt = tri_offset + jnp.maximum(best_tri, 0)
+    hit, t, u, v, w, n = intersect_ray_tri(
+        pool.tri_v0[gt], pool.tri_v1[gt], pool.tri_v2[gt], origins, dirs
+    )
+    found = best_tri >= 0
+    t = jnp.where(found, best_t, INF)
+    return t, best_tri, u, v, w, n
+
+
+def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
+                   num_tris: int | None = None):
+    """Vectorized closest-hit against one mesh sub-BVH (stackless skip-link
+    DFS: per-ray state is one node cursor + the running best hit, so each
+    lockstep step is pure gathers + elementwise VPU work — no stack
+    scatter). origins/dirs: (R, 3); tmax: (R,). Returns (t, tri_local, u, v,
+    w, n_geo) with t=inf on miss.
+
+    If num_tris is given and small, skips the tree entirely and tests all
+    triangles broadcast against all rays — for tiny meshes (area-light
+    quads) the O(T*R) masked sweep beats any traversal.
+    """
+    if num_tris is not None and num_tris <= 16:
+        return _intersect_mesh_brute(
+            pool, tri_offset, num_tris, origins, dirs, tmax
+        )
+
+    rcp = 1.0 / dirs
+    r = origins.shape[0]
+
+    state = (
+        jnp.zeros((r,), jnp.int32),  # cursor (local node index; -1 done)
+        jnp.asarray(tmax, jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s[0] >= 0)
+
+    def body(s):
+        cur, best_t, best_tri = s
+        live = cur >= 0
+        g = node_offset + jnp.maximum(cur, 0)
+
+        box_hit, box_t = intersect_ray_aabb(
+            pool.node_lower[g], pool.node_upper[g], origins, rcp
+        )
+        box_ok = live & box_hit & (box_t < best_t)
+        is_leaf = pool.node_leaf[g] > 0
+
+        # leaf: test the triangle
+        item = pool.node_left[g]
+        tri = tri_offset + item
+        thit, t, u, v, w, n = intersect_ray_tri(
+            pool.tri_v0[tri], pool.tri_v1[tri], pool.tri_v2[tri], origins, dirs
+        )
+        take = box_ok & is_leaf & thit & (t < best_t)
+        best_t = jnp.where(take, t, best_t)
+        best_tri = jnp.where(take, item, best_tri)
+
+        # advance: descend into first child on internal hit, else escape
+        descend = box_ok & ~is_leaf
+        nxt = jnp.where(descend, pool.node_left[g], pool.node_skip[g])
+        cur = jnp.where(live, nxt, cur)
+        return cur, best_t, best_tri
+
+    _, best_t, best_tri = jax.lax.while_loop(cond, body, state)
+    return _refit_hit(pool, tri_offset, origins, dirs, best_tri, best_t)
+
+
+def _intersect_mesh_brute(pool: MeshPool, tri_offset, num_tris: int,
+                          origins, dirs, tmax):
+    """All-triangles masked sweep for tiny meshes: (T, R) broadcast."""
+    sl = slice(tri_offset, tri_offset + num_tris)
+    v0 = pool.tri_v0[sl][:, None, :]  # (T, 1, 3)
+    v1 = pool.tri_v1[sl][:, None, :]
+    v2 = pool.tri_v2[sl][:, None, :]
+    o = origins[None, :, :]
+    d = dirs[None, :, :]
+    hit, t, u, v, w, n = intersect_ray_tri(v0, v1, v2, o, d)  # (T, R)
+    t = jnp.where(hit & (t < tmax[None, :]), t, INF)
+    best = jnp.argmin(t, axis=0)  # (R,)
+    r_idx = jnp.arange(origins.shape[0])
+    best_t = t[best, r_idx]
+    found = jnp.isfinite(best_t)
+    best_tri = jnp.where(found, best.astype(jnp.int32), -1)
+    return (
+        best_t,
+        best_tri,
+        u[best, r_idx],
+        v[best, r_idx],
+        w[best, r_idx],
+        n[best, r_idx],
+    )

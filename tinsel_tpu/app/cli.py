@@ -62,7 +62,7 @@ def render_one(scene, args, out_path: str):
     from ..core.color import resolve
     from ..io.png import write_png
     from ..render.camera import CameraParams
-    from ..render.renderer import make_render_pass
+    from ..render.renderer import make_accumulate_fn
     from ..render.nlm import nlm_filter
     from ..parallel.checkpoint import load_checkpoint, save_checkpoint
 
@@ -84,8 +84,11 @@ def render_one(scene, args, out_path: str):
 
     flat = scene.flatten()
     cam = CameraParams.from_host(scene.camera)
-    pass_fn = jax.jit(make_render_pass(o))
     key = jax.random.key(args.seed)
+
+    spp = o.max_samples if o.mode == "pathtrace" else 1
+    chunk = max(1, min(spp, (1 << 20) // max(o.width * o.height, 1)))
+    step = make_accumulate_fn(o, chunk)
 
     accum = jnp.zeros((o.height, o.width, 4), jnp.float32)
     start_spp = 0
@@ -94,14 +97,24 @@ def render_one(scene, args, out_path: str):
         accum = jnp.asarray(a)
         print(f"resumed {args.checkpoint} at {start_spp} spp")
 
-    spp = o.max_samples if o.mode == "pathtrace" else 1
     t0 = time.perf_counter()
-    for s in range(start_spp, spp):
-        accum = accum + pass_fn(flat, cam, jax.random.fold_in(key, s))
-        if args.checkpoint and (s + 1) % args.checkpoint_every == 0:
+    s = start_spp
+    ckpt_mark = s
+    c = s // chunk
+    while s < spp:
+        this = min(chunk, spp - s)
+        if this == chunk:
+            accum = step(accum, flat, cam, key, c)
+        else:
+            step_rem = make_accumulate_fn(o, this)
+            accum = step_rem(accum, flat, cam, key, c)
+        s += this
+        c += 1
+        if args.checkpoint and s - ckpt_mark >= args.checkpoint_every:
             accum.block_until_ready()
-            save_checkpoint(args.checkpoint, np.asarray(accum), s + 1, args.seed)
-            print(f"checkpoint @ {s + 1} spp")
+            save_checkpoint(args.checkpoint, np.asarray(accum), s, args.seed)
+            ckpt_mark = s
+            print(f"checkpoint @ {s} spp")
     accum.block_until_ready()
     dt = time.perf_counter() - t0
     done = max(spp - start_spp, 1)

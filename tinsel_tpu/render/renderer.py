@@ -1,20 +1,24 @@
 """Renderer front-end: progressive accumulation over sample passes.
 
 Equivalent of the reference's Renderer interface + CpuRenderer::Render
-(render.h:66-79, render.cpp:447-524): each pass draws one stratified-jittered
-sample per pixel (plus a shutter-time sample for motion blur,
-render.cpp:474-486), path-traces the whole pixel grid as one flat ray batch,
-and accumulates a premultiplied (color*weight, weight) RGBA buffer through
-the gather-stencil splat (filters.py). The accumulation buffer is the
-checkpointable render state (progressive rendering is naturally resumable).
+(render.h:66-79, render.cpp:447-524): each pass draws jittered samples per
+pixel (plus a shutter-time sample for motion blur, render.cpp:474-486),
+path-traces the whole pixel grid as one flat ray batch, and accumulates a
+premultiplied (color*weight, weight) RGBA buffer through the gather-stencil
+splat (filters.py). The accumulation buffer is the checkpointable render
+state (progressive rendering is naturally resumable).
 
-`render_pass` is a single jittable function of (scene pytree, camera params,
-key) — this is the unit that shards across devices (parallel/sharding.py)
-and the flagship entry point for benchmarks.
+TPU shape: a pass renders `samples_per_pass` spp in ONE dispatch by
+flattening (S, H, W) into a single (S*H*W,) ray batch — bigger batches
+amortize fixed costs and avoid per-spp host dispatches, which are expensive
+over a remote-tunnel runtime. The accumulation across passes stays in the
+jitted function (pass index is a traced scalar), so the host loop issues one
+fused kernel per chunk.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -27,16 +31,16 @@ from .filters import splat
 from .integrator import path_trace, trace_normals
 
 
-def _sample_grid(width: int, height: int, cam: CameraParams, key):
-    """Jittered raster positions + shutter times for one pass."""
+def _sample_grid(width: int, height: int, cam: CameraParams, key, spp: int = 1):
+    """Jittered raster positions + shutter times: (S, H, W) arrays."""
     kx = jax.random.fold_in(key, 0)
     kt = jax.random.fold_in(key, 1)
-    jitter = jax.random.uniform(kx, (height, width, 2))
-    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
-    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    jitter = jax.random.uniform(kx, (spp, height, width, 2))
+    xs = jnp.arange(width, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(height, dtype=jnp.float32)[None, :, None]
     rx = xs + jitter[..., 0]
     ry = ys + jitter[..., 1]
-    tu = jax.random.uniform(kt, (height, width))
+    tu = jax.random.uniform(kt, (spp, height, width))
     times = lerp(cam.shutter_start, cam.shutter_end, tu)
     return rx, ry, times
 
@@ -49,21 +53,23 @@ def render_pass(
     width: int,
     height: int,
     max_depth: int,
+    samples_per_pass: int = 1,
     clamp: float = float("inf"),
     filter_type: str = "gaussian",
     filter_width: float = 0.75,
     filter_falloff: float = 1.0,
     mode: str = "pathtrace",
 ):
-    """One sample-per-pixel pass -> (H, W, 4) RGBA accumulation increment."""
-    rx, ry, times = _sample_grid(width, height, cam, key)
+    """One pass of `samples_per_pass` spp -> (H, W, 4) RGBA increment."""
+    s = samples_per_pass
+    rx, ry, times = _sample_grid(width, height, cam, key, s)
     raster = jnp.stack([rx, ry], axis=-1).reshape(-1, 2)
     origins, dirs = generate_rays(cam, width, height, raster)
     times_flat = times.reshape(-1)
 
     if mode == "normals":
         rgb = trace_normals(scene, origins, dirs, times_flat)
-        rgb = rgb.reshape(height, width, 3)
+        rgb = rgb.reshape(s, height, width, 3).mean(axis=0)
         return jnp.concatenate(
             [rgb, jnp.ones((height, width, 1), jnp.float32)], axis=-1
         )
@@ -71,23 +77,28 @@ def render_pass(
     radiance = path_trace(
         scene, origins, dirs, times_flat, max_depth, jax.random.fold_in(key, 2)
     )
-    import math
-
     if math.isfinite(clamp):
         radiance = clamp_length(radiance, clamp)
-    sample_rgb = radiance.reshape(height, width, 3)
-    return splat(sample_rgb, rx, ry, filter_type, filter_width, filter_falloff)
+    sample_rgb = radiance.reshape(s, height, width, 3)
+
+    do_splat = partial(
+        splat,
+        filter_type=filter_type,
+        filter_width=filter_width,
+        filter_falloff=filter_falloff,
+    )
+    return jax.vmap(do_splat)(sample_rgb, rx, ry).sum(axis=0)
 
 
-def make_render_pass(options: Options):
+def make_render_pass(options: Options, samples_per_pass: int = 1):
     """Bind static options; returns render_pass(scene, cam, key) ready to jit."""
-    clamp = options.clamp
     return partial(
         render_pass,
         width=options.width,
         height=options.height,
         max_depth=options.max_depth,
-        clamp=clamp,
+        samples_per_pass=samples_per_pass,
+        clamp=options.clamp,
         filter_type=options.filter_type,
         filter_width=options.filter_width,
         filter_falloff=options.filter_falloff,
@@ -95,8 +106,24 @@ def make_render_pass(options: Options):
     )
 
 
+def make_accumulate_fn(options: Options, samples_per_pass: int = 1):
+    """Jitted (accum, scene, cam, key, pass_idx) -> accum + one chunk.
+
+    Key folding and accumulation both happen on-device: the host loop is
+    one dispatch per chunk with zero auxiliary kernels.
+    """
+    pass_fn = make_render_pass(options, samples_per_pass)
+
+    @jax.jit
+    def step(accum, scene, cam, key, pass_idx):
+        k = jax.random.fold_in(key, pass_idx)
+        return accum + pass_fn(scene, cam, k)
+
+    return step
+
+
 def render(scene_host, spp: int, seed: int = 0, options: Options = None,
-           report_every: int = 0):
+           samples_per_pass: int | None = None, report_every: int = 0):
     """Convenience host loop: flatten, jit once, accumulate spp passes.
 
     Returns the (H, W, 4) accumulation buffer (resolve with core.color).
@@ -104,12 +131,19 @@ def render(scene_host, spp: int, seed: int = 0, options: Options = None,
     options = options or scene_host.options
     flat = scene_host.flatten()
     cam = CameraParams.from_host(scene_host.camera)
-    pass_fn = jax.jit(make_render_pass(options))
+    if samples_per_pass is None:
+        # bound per-pass ray memory: ~1M rays per dispatch
+        samples_per_pass = max(1, min(spp, (1 << 20) // max(options.width * options.height, 1)))
+    n_full, rem = divmod(spp, samples_per_pass)
+    step = make_accumulate_fn(options, samples_per_pass)
     key = jax.random.key(seed)
 
     accum = jnp.zeros((options.height, options.width, 4), jnp.float32)
-    for s in range(spp):
-        accum = accum + pass_fn(flat, cam, jax.random.fold_in(key, s))
-        if report_every and (s + 1) % report_every == 0:
+    for c in range(n_full):
+        accum = step(accum, flat, cam, key, c)
+        if report_every and (c + 1) % report_every == 0:
             accum.block_until_ready()
+    if rem:
+        step_rem = make_accumulate_fn(options, rem)
+        accum = step_rem(accum, flat, cam, key, n_full)
     return accum

@@ -90,7 +90,7 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
             sg = jax.lax.stop_gradient
             _, tri, *_ = intersect_mesh(
                 sg(scene.pool), h.node_offset, h.tri_offset, sg(o_l), sg(d_l),
-                sg(best_t),
+                sg(best_t), num_tris=h.num_tris,
             )
             hit = tri >= 0
             gt = h.tri_offset + jnp.maximum(tri, 0)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..accel.build import BVH, build_bvh, triangle_bounds
+from ..accel.build import BVH, build_bvh, compute_skip_links, triangle_bounds
 from ..accel.traverse import MeshHandle, MeshPool
 
 # primitive type tags (static)
@@ -339,7 +339,7 @@ class Scene:
                     mesh_list.append(prim.mesh)
 
         handles: List[MeshHandle] = []
-        node_arrays = {k: [] for k in ("lower", "upper", "left", "right", "leaf")}
+        node_arrays = {k: [] for k in ("lower", "upper", "left", "right", "leaf", "skip")}
         tri_arrays = {k: [] for k in ("v0", "v1", "v2", "n0", "n1", "n2", "cdf")}
         node_off = 0
         tri_off = 0
@@ -352,6 +352,7 @@ class Scene:
             node_arrays["left"].append(b.left)
             node_arrays["right"].append(b.right)
             node_arrays["leaf"].append(b.leaf)
+            node_arrays["skip"].append(compute_skip_links(b))
             v = m.positions[m.indices]  # (T, 3, 3)
             n = m.normals[m.indices]
             tri_arrays["v0"].append(v[:, 0])
@@ -386,6 +387,11 @@ class Scene:
             node_left=cat(node_arrays["left"], jnp.int32),
             node_right=cat(node_arrays["right"], jnp.int32),
             node_leaf=cat(node_arrays["leaf"], jnp.int32),
+            node_skip=(
+                cat(node_arrays["skip"], jnp.int32)
+                if node_arrays["skip"]
+                else jnp.full((1,), -1, jnp.int32)  # empty pool: terminate
+            ),
             tri_v0=cat(tri_arrays["v0"], jnp.float32, 3),
             tri_v1=cat(tri_arrays["v1"], jnp.float32, 3),
             tri_v2=cat(tri_arrays["v2"], jnp.float32, 3),
