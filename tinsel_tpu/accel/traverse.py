@@ -225,6 +225,50 @@ def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
     return _refit_hit(pool, tri_offset, origins, dirs, best_tri, best_t)
 
 
+def traversal_cost(pool: MeshPool, node_offset, tri_offset, origins, dirs,
+                   tmax, num_tris: int | None = None):
+    """Per-ray node-visit count for the skip-link DFS — the `eComplexity`
+    debug view the reference reserves but never implements (render.h:45,
+    render.cpp:516-519). Returns (R,) f32 counts."""
+    if num_tris is not None and num_tris <= 16:
+        return jnp.full((origins.shape[0],), float(num_tris), jnp.float32)
+
+    rcp = 1.0 / dirs
+    r = origins.shape[0]
+    state = (
+        jnp.zeros((r,), jnp.int32),
+        jnp.asarray(tmax, jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+    )
+
+    def cond(s):
+        return jnp.any(s[0] >= 0)
+
+    def body(s):
+        cur, best_t, steps = s
+        live = cur >= 0
+        g = node_offset + jnp.maximum(cur, 0)
+        box_hit, box_t = intersect_ray_aabb(
+            pool.node_lower[g], pool.node_upper[g], origins, rcp
+        )
+        box_ok = live & box_hit & (box_t < best_t)
+        is_leaf = pool.node_leaf[g] > 0
+        item = pool.node_left[g]
+        tri = tri_offset + item
+        thit, t, *_ = intersect_ray_tri(
+            pool.tri_v0[tri], pool.tri_v1[tri], pool.tri_v2[tri], origins, dirs
+        )
+        take = box_ok & is_leaf & thit & (t < best_t)
+        best_t = jnp.where(take, t, best_t)
+        descend = box_ok & ~is_leaf
+        nxt = jnp.where(descend, pool.node_left[g], pool.node_skip[g])
+        cur = jnp.where(live, nxt, cur)
+        return cur, best_t, steps + live.astype(jnp.float32)
+
+    _, _, steps = jax.lax.while_loop(cond, body, state)
+    return steps
+
+
 def _intersect_mesh_brute(pool: MeshPool, tri_offset, num_tris: int,
                           origins, dirs, tmax):
     """All-triangles masked sweep for tiny meshes: (T, R) broadcast."""

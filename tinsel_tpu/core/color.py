@@ -34,6 +34,44 @@ def tonemap_filmic(c, limit=1.0):
     return srgb_to_linear(ret)
 
 
+def yxy_to_xyz(Y, x, y):
+    """CIE Yxy -> XYZ (maths.h Yxy/XYZ converters). Broadcasts; returns
+    (..., 3)."""
+    y = jnp.maximum(y, 1e-6)
+    X = x * (Y / y)
+    Z = (1.0 - x - y) * (Y / y)
+    return jnp.stack([X, Y, Z], axis=-1)
+
+
+# sRGB D65 primaries (linear RGB), standard matrix
+_XYZ_TO_RGB = jnp.array(
+    [[3.2404542, -1.5371385, -0.4985314],
+     [-0.9692660, 1.8760108, 0.0415560],
+     [0.0556434, -0.2040259, 1.0572252]],
+    jnp.float32,
+)
+
+
+def xyz_to_linear_rgb(xyz):
+    """CIE XYZ -> linear sRGB. xyz: (..., 3)."""
+    return xyz @ _XYZ_TO_RGB.T
+
+
+def hsv_to_rgb(h, s, v):
+    """HSV -> RGB (maths.h HSVToRGB parity), broadcasting, h in [0,1)."""
+    h6 = (h % 1.0) * 6.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t], v)
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p], p)
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v], q)
+    return jnp.stack([r, g, b], axis=-1)
+
+
 def tonemap_reinhard(c, limit=1.0):
     lum = luminance(c)
     return c / (1.0 + lum / limit)[..., None]

@@ -63,6 +63,83 @@ def stratified_offsets_2d(n_x: int, n_y: int, key):
     return (grid + jit) * scale
 
 
+def stratified_offsets_1d(n: int, key):
+    """Jittered-stratified samples in [0,1), shape (n,) (sampler.h:6-24)."""
+    jit = jax.random.uniform(key, (n,))
+    return (jnp.arange(n, dtype=jnp.float32) + jit) / n
+
+
+def _toroidal_dist2(p, q):
+    """Squared toroidal distance between point sets p (..., D) and q (..., D)."""
+    d = jnp.abs(p - q)
+    d = jnp.minimum(d, 1.0 - d)
+    return jnp.sum(d * d, axis=-1)
+
+
+def best_candidate_2d(n: int, key, candidates_per_point: int = 32):
+    """Best-candidate (Mitchell) blue-noise point set in [0,1)^2.
+
+    Capability parity with the reference's blue-noise generator
+    (sampler.h:80-131), rebuilt as a lax.scan with vectorized candidate
+    scoring instead of the O(n^2) scalar loops: each step draws k candidates
+    and keeps the one maximizing the min toroidal distance to all accepted
+    points (masked — unfilled slots contribute +inf).
+    """
+    k = candidates_per_point
+
+    pts0 = jnp.zeros((n, 2), jnp.float32)
+    first = jax.random.uniform(fold_key(key, 0), (2,))
+    pts0 = pts0.at[0].set(first)
+
+    def step(pts, i):
+        cand = jax.random.uniform(fold_key(key, i), (k, 2))
+        # (k, n) toroidal distances to accepted points; mask unfilled slots
+        d2 = _toroidal_dist2(cand[:, None, :], pts[None, :, :])
+        filled = jnp.arange(n) < i
+        d2 = jnp.where(filled[None, :], d2, jnp.inf)
+        score = jnp.min(d2, axis=1)  # (k,)
+        best = cand[jnp.argmax(score)]
+        return pts.at[i].set(best), None
+
+    pts, _ = jax.lax.scan(step, pts0, jnp.arange(1, n))
+    return pts
+
+
+def best_candidate_projective_2d(n: int, key, candidates_per_point: int = 32,
+                                 axis_weight: float | None = None):
+    """Projective blue noise (sampler.h:133-214): candidates are scored by
+    the min of the 2D toroidal distance AND each 1D axis projection distance
+    (scaled so all three terms are commensurate), giving point sets that are
+    well-distributed in 2D and in both 1D projections."""
+    k = candidates_per_point
+    # scale 1D distances by n (1D spacing ~1/n vs 2D spacing ~1/sqrt(n))
+    w1 = axis_weight if axis_weight is not None else float(n) ** 0.5
+
+    pts0 = jnp.zeros((n, 2), jnp.float32)
+    pts0 = pts0.at[0].set(jax.random.uniform(fold_key(key, 0), (2,)))
+
+    def step(pts, i):
+        cand = jax.random.uniform(fold_key(key, i), (k, 2))
+        filled = jnp.arange(n) < i
+        d2 = _toroidal_dist2(cand[:, None, :], pts[None, :, :])
+        dx = _toroidal_dist2(cand[:, None, :1], pts[None, :, :1]) * (w1 * w1)
+        dy = _toroidal_dist2(cand[:, None, 1:], pts[None, :, 1:]) * (w1 * w1)
+        d2 = jnp.minimum(d2, jnp.minimum(dx, dy))
+        d2 = jnp.where(filled[None, :], d2, jnp.inf)
+        best = cand[jnp.argmax(jnp.min(d2, axis=1))]
+        return pts.at[i].set(best), None
+
+    pts, _ = jax.lax.scan(step, pts0, jnp.arange(1, n))
+    return pts
+
+
+def toroidal_shift(points, key):
+    """Cranley-Patterson rotation: shift a point set by a random offset mod 1
+    (sampler.h:216-226) — decorrelates a shared pattern across pixels."""
+    off = jax.random.uniform(key, (points.shape[-1],))
+    return (points + off) % 1.0
+
+
 def fold_key(key, *ids):
     """Derive a subkey by folding in one or more static/traced ints."""
     for i in ids:

@@ -177,3 +177,32 @@ def trace_normals(scene: SceneFlat, origins, dirs, times):
     hit = trace_closest(scene, origins, dirs, times)
     n = hit.normal * 0.5 + 0.5
     return jnp.where((hit.prim >= 0)[..., None], n, 0.0)
+
+
+def trace_complexity(scene: SceneFlat, origins, dirs, times, scale: float = 256.0):
+    """Traversal-cost heat view — implements the `eComplexity` mode the
+    reference reserves but leaves empty (render.h:45, render.cpp:516-519).
+    Cost = total BVH node visits (+1 per analytic primitive test), mapped
+    through an HSV blue->red ramp."""
+    from ..accel.traverse import traversal_cost
+    from ..core.color import hsv_to_rgb
+    from ..core.math import inverse_transform_point, inverse_transform_vector
+    from ..scene.model import MESH
+    from .trace import prim_transform
+
+    r = origins.shape[0]
+    cost = jnp.zeros((r,), jnp.float32)
+    for i, ps in enumerate(scene.prim_static):
+        if ps.type == MESH:
+            tr = prim_transform(scene, i, times)
+            o_l = inverse_transform_point(tr, origins)
+            d_l = inverse_transform_vector(tr, dirs)
+            h = ps.mesh
+            cost = cost + traversal_cost(
+                scene.pool, h.node_offset, h.tri_offset, o_l, d_l,
+                jnp.full((r,), jnp.inf), num_tris=h.num_tris,
+            )
+        else:
+            cost = cost + 1.0
+    x = jnp.clip(cost / scale, 0.0, 1.0)
+    return hsv_to_rgb((1.0 - x) * 2.0 / 3.0, jnp.ones_like(x), jnp.ones_like(x))

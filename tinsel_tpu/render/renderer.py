@@ -28,7 +28,7 @@ from ..core.math import clamp_length, lerp
 from ..scene.model import Options, SceneFlat
 from .camera import CameraParams, generate_rays
 from .filters import splat
-from .integrator import path_trace, trace_normals
+from .integrator import path_trace, trace_complexity, trace_normals
 
 
 def _sample_grid(width: int, height: int, cam: CameraParams, key, spp: int = 1):
@@ -67,8 +67,9 @@ def render_pass(
     origins, dirs = generate_rays(cam, width, height, raster)
     times_flat = times.reshape(-1)
 
-    if mode == "normals":
-        rgb = trace_normals(scene, origins, dirs, times_flat)
+    if mode in ("normals", "complexity"):
+        dbg = trace_normals if mode == "normals" else trace_complexity
+        rgb = dbg(scene, origins, dirs, times_flat)
         rgb = rgb.reshape(s, height, width, 3).mean(axis=0)
         return jnp.concatenate(
             [rgb, jnp.ones((height, width, 1), jnp.float32)], axis=-1

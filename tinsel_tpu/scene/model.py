@@ -257,6 +257,24 @@ class MaterialsFlat:
         """Gather one (batched) material record by index array."""
         return jax.tree_util.tree_map(lambda a: a[i], self)
 
+    @classmethod
+    def from_host(cls, mats: list) -> "MaterialsFlat":
+        """Stack a list of host Materials into the device SoA record."""
+        return cls(
+            emission=jnp.asarray(np.stack([m.emission for m in mats]) if mats else np.zeros((1, 3)), jnp.float32),
+            color=jnp.asarray(np.stack([m.color for m in mats]) if mats else np.zeros((1, 3)), jnp.float32),
+            absorption=jnp.asarray(np.stack([m.absorption for m in mats]) if mats else np.zeros((1, 3)), jnp.float32),
+            eta=jnp.asarray([m.index_of_refraction() for m in mats] or [1.5], jnp.float32),
+            metallic=jnp.asarray([m.metallic for m in mats] or [0.0], jnp.float32),
+            subsurface=jnp.asarray([m.subsurface for m in mats] or [0.0], jnp.float32),
+            specular=jnp.asarray([m.specular for m in mats] or [0.5], jnp.float32),
+            roughness=jnp.asarray([m.roughness for m in mats] or [0.5], jnp.float32),
+            specular_tint=jnp.asarray([m.specular_tint for m in mats] or [0.0], jnp.float32),
+            clearcoat=jnp.asarray([m.clearcoat for m in mats] or [0.0], jnp.float32),
+            clearcoat_gloss=jnp.asarray([m.clearcoat_gloss for m in mats] or [1.0], jnp.float32),
+            transmission=jnp.asarray([m.transmission for m in mats] or [0.0], jnp.float32),
+        )
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -402,21 +420,7 @@ class Scene:
         )
 
         # materials: one row per primitive (simple and gradient-friendly)
-        mats = [p.material for p in self.primitives]
-        mf = MaterialsFlat(
-            emission=jnp.asarray(np.stack([m.emission for m in mats]) if mats else np.zeros((1, 3)), jnp.float32),
-            color=jnp.asarray(np.stack([m.color for m in mats]) if mats else np.zeros((1, 3)), jnp.float32),
-            absorption=jnp.asarray(np.stack([m.absorption for m in mats]) if mats else np.zeros((1, 3)), jnp.float32),
-            eta=jnp.asarray([m.index_of_refraction() for m in mats] or [1.5], jnp.float32),
-            metallic=jnp.asarray([m.metallic for m in mats] or [0.0], jnp.float32),
-            subsurface=jnp.asarray([m.subsurface for m in mats] or [0.0], jnp.float32),
-            specular=jnp.asarray([m.specular for m in mats] or [0.5], jnp.float32),
-            roughness=jnp.asarray([m.roughness for m in mats] or [0.5], jnp.float32),
-            specular_tint=jnp.asarray([m.specular_tint for m in mats] or [0.0], jnp.float32),
-            clearcoat=jnp.asarray([m.clearcoat for m in mats] or [0.0], jnp.float32),
-            clearcoat_gloss=jnp.asarray([m.clearcoat_gloss for m in mats] or [1.0], jnp.float32),
-            transmission=jnp.asarray([m.transmission for m in mats] or [0.0], jnp.float32),
-        )
+        mf = MaterialsFlat.from_host([p.material for p in self.primitives])
 
         prims = self.primitives or [Primitive()]
         ends = [p.resolved_end() for p in prims]
