@@ -101,9 +101,14 @@ def _random_tri_soup(n, seed=0):
 def test_bvh_build_structure():
     positions, indices = _random_tri_soup(257)
     lo, hi = triangle_bounds(positions, indices)
-    bvh = build_bvh(lo, hi, use_native=False)
+    bvh = build_bvh(lo, hi, max_items_per_leaf=1, use_native=False)
     assert bvh.num_nodes == 2 * 257 - 1
     assert validate_bvh(bvh, lo, hi)
+    # ranged leaves: far fewer nodes, still structurally valid
+    bvh8 = build_bvh(lo, hi, max_items_per_leaf=8, use_native=False)
+    assert bvh8.num_nodes < bvh.num_nodes // 2
+    assert int(bvh8.count.max()) <= 8
+    assert validate_bvh(bvh8, lo, hi)
 
 
 def test_bvh_native_matches_python_structurally():
@@ -111,49 +116,65 @@ def test_bvh_native_matches_python_structurally():
     lo, hi = triangle_bounds(positions, indices)
     from tinsel_tpu.native.bvh_native import build_bvh_native
 
-    bvh = build_bvh_native(lo, hi)
+    bvh = build_bvh_native(lo, hi, leaf_size=1)
     assert bvh.num_nodes == 2 * 5000 - 1
     assert validate_bvh(bvh, lo, hi)
     # root bounds identical to python builder's
-    py = build_bvh(lo, hi, use_native=False)
+    py = build_bvh(lo, hi, max_items_per_leaf=1, use_native=False)
     np.testing.assert_allclose(bvh.lower[0], py.lower[0], atol=1e-6)
     np.testing.assert_allclose(bvh.upper[0], py.upper[0], atol=1e-6)
+    # ranged leaves agree with the python builder structurally
+    bvh8 = build_bvh_native(lo, hi, leaf_size=8)
+    assert validate_bvh(bvh8, lo, hi)
+    py8 = build_bvh(lo, hi, max_items_per_leaf=8, use_native=False)
+    assert bvh8.num_nodes == py8.num_nodes
+    np.testing.assert_array_equal(bvh8.perm, py8.perm)
 
 
 # ------------------------------------------------------------- traversal
 
 
-def _pool_from_mesh(positions, indices):
-    from tinsel_tpu.accel.build import compute_skip_links
+def _pool_from_mesh(positions, indices, leaf_size=8):
+    """Build a MeshPool the same way Scene.flatten does (permuted tris,
+    packed nodes). Returns (pool, perm)."""
+    from tinsel_tpu.accel.build import compute_skip_links, pack_nodes
 
     lo, hi = triangle_bounds(positions, indices)
-    bvh = build_bvh(lo, hi, use_native=False)
-    skip = compute_skip_links(bvh)
-    v = positions[indices]  # (T, 3, 3)
-    t = v.shape[0]
-    # area-weighted vertex normals, deindexed per-corner (flat here)
+    bvh = build_bvh(lo, hi, max_items_per_leaf=leaf_size, use_native=False)
+    packed = pack_nodes(bvh, compute_skip_links(bvh))
+    v = positions[indices[bvh.perm]]  # (T, 3, 3) BVH-permuted
+    # flat per-face normals, deindexed per-corner
     n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
     n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     areas = 0.5 * np.linalg.norm(
         np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1
     )
     cdf = np.cumsum(areas) / areas.sum()
+    def rows12(a, b, c):
+        out = np.zeros((a.shape[0], 12), np.float32)
+        out[:, 0:3] = a
+        out[:, 3:6] = b
+        out[:, 6:9] = c
+        return jnp.asarray(out)
+
+    def planes9(a, b, c):
+        cols = []
+        for arr in (a, b, c):
+            cols.extend(
+                jnp.asarray(np.ascontiguousarray(arr[:, i]), jnp.float32)
+                for i in range(3)
+            )
+        return tuple(cols)
+
     pool = MeshPool(
-        node_lower=jnp.asarray(bvh.lower),
-        node_upper=jnp.asarray(bvh.upper),
-        node_left=jnp.asarray(bvh.left),
-        node_right=jnp.asarray(bvh.right),
-        node_leaf=jnp.asarray(bvh.leaf),
-        node_skip=jnp.asarray(skip),
-        tri_v0=jnp.asarray(v[:, 0], jnp.float32),
-        tri_v1=jnp.asarray(v[:, 1], jnp.float32),
-        tri_v2=jnp.asarray(v[:, 2], jnp.float32),
-        tri_n0=jnp.asarray(n, jnp.float32),
-        tri_n1=jnp.asarray(n, jnp.float32),
-        tri_n2=jnp.asarray(n, jnp.float32),
+        node_packed=jnp.asarray(packed),
+        tri_rows=rows12(v[:, 0], v[:, 1], v[:, 2]),
+        nrm_rows=rows12(n, n, n),
         tri_cdf=jnp.asarray(cdf, jnp.float32),
+        tri_planes=planes9(v[:, 0], v[:, 1], v[:, 2]),
+        nrm_planes=planes9(n, n, n),
     )
-    return pool
+    return pool, bvh.perm
 
 
 def _brute_force_closest(positions, indices, o, d):
@@ -168,7 +189,7 @@ def _brute_force_closest(positions, indices, o, d):
 
 def test_traversal_matches_brute_force():
     positions, indices = _random_tri_soup(300, seed=2)
-    pool = _pool_from_mesh(positions, indices)
+    pool, perm = _pool_from_mesh(positions, indices)
 
     rng = np.random.default_rng(3)
     n_rays = 64
@@ -191,12 +212,14 @@ def test_traversal_matches_brute_force():
             assert tri_bvh[i] < 0, f"ray {i}: bvh hit but brute force missed"
         else:
             assert tri_bvh[i] >= 0, f"ray {i}: bvh missed but brute force hit"
+            # winning triangle agrees through the BVH permutation
+            assert perm[tri_bvh[i]] == tri_ref
             np.testing.assert_allclose(t_bvh[i], t_ref, rtol=1e-4)
 
 
 def test_traversal_respects_tmax():
     positions, indices = _random_tri_soup(100, seed=4)
-    pool = _pool_from_mesh(positions, indices)
+    pool, _ = _pool_from_mesh(positions, indices)
     o = jnp.asarray([[0.0, 0.0, -50.0]], jnp.float32)
     d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
     t_any, tri, *_ = intersect_mesh(pool, 0, 0, o, d, jnp.asarray([np.inf], np.float32))
@@ -208,11 +231,11 @@ def test_traversal_respects_tmax():
         assert not np.isfinite(float(t2[0]))
 
 
-def test_stackless_matches_stack_traversal():
-    from tinsel_tpu.accel.traverse import intersect_mesh_stack
-
+def test_tiled_matches_untiled_traversal():
+    """Per-tile early exit must be invisible to results: run the same batch
+    with tile == batch (single while_loop) and with small tiles (lax.map)."""
     positions, indices = _random_tri_soup(500, seed=7)
-    pool = _pool_from_mesh(positions, indices)
+    pool, _ = _pool_from_mesh(positions, indices)
     rng = np.random.default_rng(8)
     n_rays = 128
     origins = rng.uniform(-15, 15, size=(n_rays, 3)).astype(np.float32)
@@ -220,15 +243,19 @@ def test_stackless_matches_stack_traversal():
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
     tmax = jnp.full((n_rays,), np.inf, np.float32)
 
-    t_a, tri_a, *_ = intersect_mesh(pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax)
-    t_b, tri_b, *_ = intersect_mesh_stack(pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax)
+    t_a, tri_a, *_ = intersect_mesh(
+        pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax, tile=n_rays
+    )
+    t_b, tri_b, *_ = intersect_mesh(
+        pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax, tile=32
+    )
     np.testing.assert_array_equal(np.asarray(tri_a), np.asarray(tri_b))
     np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), rtol=1e-5)
 
 
 def test_brute_small_mesh_matches_traversal():
     positions, indices = _random_tri_soup(12, seed=9)
-    pool = _pool_from_mesh(positions, indices)
+    pool, _ = _pool_from_mesh(positions, indices)
     rng = np.random.default_rng(10)
     n_rays = 64
     origins = rng.uniform(-15, 15, size=(n_rays, 3)).astype(np.float32)

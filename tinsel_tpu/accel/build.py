@@ -24,14 +24,37 @@ import numpy as np
 
 @dataclasses.dataclass
 class BVH:
-    """Flat SoA BVH. Internal nodes store child node indices; leaves store
-    the item (primitive/triangle) index in `left` with leaf=1. Root is 0."""
+    """Flat SoA BVH with ranged leaves. Internal nodes store child node
+    indices in (left, right); a leaf (count > 0) stores in `left` the start
+    of its item range *in the permuted item order* `perm`, and in `count`
+    the range length. Root is node 0.
+
+    Ranged leaves are the TPU-first departure from the reference's
+    one-item-per-leaf trees (bvh.h:243): a leaf hit tests `count` contiguous
+    triangle rows in one vectorized sweep, and trees are ~2*leaf_size times
+    smaller, which directly cuts the lockstep traversal's step count."""
 
     lower: np.ndarray  # (N, 3) f32
     upper: np.ndarray  # (N, 3) f32
-    left: np.ndarray  # (N,) i32 — child node, or item index if leaf
-    right: np.ndarray  # (N,) i32
+    left: np.ndarray  # (N,) i32 — child node, or perm-range start if leaf
+    right: np.ndarray  # (N,) i32 — child node (leaves: 0)
     leaf: np.ndarray  # (N,) i32 (0/1)
+    count: np.ndarray = None  # (N,) i32 — items in leaf range (0 = internal)
+    perm: np.ndarray = None  # (n,) i32 — item order referenced by leaves
+
+    def __post_init__(self):
+        if self.count is None:  # legacy single-item layout
+            self.count = self.leaf.astype(np.int32)
+        if self.perm is None:
+            # identity consistent with single-item leaves that store the raw
+            # item index: rewrite leaf starts to positions in a perm array
+            n_items = int(self.leaf.sum())
+            self.perm = np.empty(n_items, np.int32)
+            pos = 0
+            for i in np.flatnonzero(self.leaf):
+                self.perm[pos] = self.left[i]
+                self.left[i] = pos
+                pos += 1
 
     @property
     def num_nodes(self) -> int:
@@ -43,7 +66,11 @@ def _surface_area(lower, upper):
     return 2.0 * (e[..., 0] * e[..., 1] + e[..., 0] * e[..., 2] + e[..., 1] * e[..., 2])
 
 
-def build_bvh(lowers: np.ndarray, uppers: np.ndarray, max_items_per_leaf: int = 1,
+DEFAULT_LEAF_SIZE = 8
+
+
+def build_bvh(lowers: np.ndarray, uppers: np.ndarray,
+              max_items_per_leaf: int = DEFAULT_LEAF_SIZE,
               use_native: bool = True) -> BVH:
     """Build a SAH BVH over item AABBs.
 
@@ -55,11 +82,13 @@ def build_bvh(lowers: np.ndarray, uppers: np.ndarray, max_items_per_leaf: int = 
     if n == 0:
         raise ValueError("cannot build BVH over zero items")
 
-    if use_native and n >= 4096 and max_items_per_leaf == 1:
+    if use_native and n >= 4096:
         try:
             from ..native import bvh_native
 
-            return bvh_native.build_bvh_native(lowers, uppers)
+            return bvh_native.build_bvh_native(
+                lowers, uppers, leaf_size=max_items_per_leaf
+            )
         except Exception:
             pass  # fall back to the NumPy builder
 
@@ -71,6 +100,7 @@ def build_bvh(lowers: np.ndarray, uppers: np.ndarray, max_items_per_leaf: int = 
     out_left = np.zeros(max_nodes, np.int32)
     out_right = np.zeros(max_nodes, np.int32)
     out_leaf = np.zeros(max_nodes, np.int32)
+    out_count = np.zeros(max_nodes, np.int32)
 
     indices = np.arange(n, dtype=np.int64)
     used = 0
@@ -95,8 +125,9 @@ def build_bvh(lowers: np.ndarray, uppers: np.ndarray, max_items_per_leaf: int = 
 
         if count <= max_items_per_leaf:
             out_leaf[node] = 1
-            out_left[node] = indices[start]
+            out_left[node] = start  # range start in the final permutation
             out_right[node] = 0
+            out_count[node] = count
             continue
 
         # longest-axis full SAH sweep
@@ -137,6 +168,8 @@ def build_bvh(lowers: np.ndarray, uppers: np.ndarray, max_items_per_leaf: int = 
         left=out_left[:used].copy(),
         right=out_right[:used].copy(),
         leaf=out_leaf[:used].copy(),
+        count=out_count[:used].copy(),
+        perm=indices.astype(np.int32),
     )
 
 
@@ -168,18 +201,47 @@ def triangle_bounds(positions: np.ndarray, indices: np.ndarray):
     return tris.min(axis=1), tris.max(axis=1)
 
 
+COUNT_SHIFT = 26  # leaf count lives in the top bits of the packed word
+ITEM_MASK = (1 << COUNT_SHIFT) - 1
+
+
+def pack_nodes(bvh: BVH, skip: np.ndarray) -> np.ndarray:
+    """Pack a BVH + skip links into one (N, 8) f32 row per node so traversal
+    gathers a single contiguous row per step instead of five separate arrays:
+
+        cols 0-2  lower.xyz
+        cols 3-5  upper.xyz
+        col  6    bitcast i32: (leaf_count << 26) | payload
+                  payload = first-child node index (internal, count=0)
+                          = item-range start in perm order (leaf, count>0)
+        col  7    bitcast i32: skip link (-1 terminates)
+    """
+    n = bvh.num_nodes
+    assert int(bvh.count.max(initial=0)) < (1 << (31 - COUNT_SHIFT))
+    assert int(bvh.left.max(initial=0)) <= ITEM_MASK
+    enc = (bvh.count.astype(np.int64) << COUNT_SHIFT) | bvh.left.astype(np.int64)
+    packed = np.empty((n, 8), np.float32)
+    packed[:, 0:3] = bvh.lower
+    packed[:, 3:6] = bvh.upper
+    packed[:, 6] = enc.astype(np.int32).view(np.float32)
+    packed[:, 7] = np.asarray(skip, np.int32).view(np.float32)
+    return packed
+
+
 def validate_bvh(bvh: BVH, lowers: np.ndarray, uppers: np.ndarray) -> bool:
-    """Structural sanity: every item appears in exactly one leaf, and every
-    node's bounds contain its children. Used by tests."""
+    """Structural sanity: every item appears in exactly one leaf range, and
+    every node's bounds contain its children/items. Used by tests."""
     n = lowers.shape[0]
     seen = np.zeros(n, np.int64)
     eps = 1e-5
 
     def walk(i):
-        if bvh.leaf[i]:
-            seen[bvh.left[i]] += 1
-            assert np.all(bvh.lower[i] <= lowers[bvh.left[i]] + eps)
-            assert np.all(bvh.upper[i] >= uppers[bvh.left[i]] - eps)
+        if bvh.count[i] > 0:
+            for p in range(bvh.left[i], bvh.left[i] + bvh.count[i]):
+                item = bvh.perm[p]
+                seen[item] += 1
+                assert np.all(bvh.lower[i] <= lowers[item] + eps)
+                assert np.all(bvh.upper[i] >= uppers[item] - eps)
         else:
             for c in (bvh.left[i], bvh.right[i]):
                 assert np.all(bvh.lower[i] <= bvh.lower[c] + eps)

@@ -7,6 +7,8 @@ sRGB<->linear gamma-2.2, filmic curve, exposure/weight resolve.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 GAMMA = 2.2
@@ -44,11 +46,11 @@ def yxy_to_xyz(Y, x, y):
 
 
 # sRGB D65 primaries (linear RGB), standard matrix
-_XYZ_TO_RGB = jnp.array(
+_XYZ_TO_RGB = np.array(
     [[3.2404542, -1.5371385, -0.4985314],
      [-0.9692660, 1.8760108, 0.0415560],
      [0.0556434, -0.2040259, 1.0572252]],
-    jnp.float32,
+    np.float32,
 )
 
 

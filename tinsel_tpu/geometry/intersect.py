@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from ..core.math import dot
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")  # Python literal: an import-time device scalar closed
+# over in jit hits a catastrophic constant path on TPU (measured 3000x)
 
 
 def intersect_ray_sphere(center, radius, origin, direction):

@@ -2,9 +2,10 @@
 //
 // Scene-load-time fast path behind tinsel_tpu/accel/build.py (the NumPy
 // reference implementation); same algorithm: full-sweep surface-area
-// heuristic along the longest axis, middle-split fallback, one item per
-// leaf, flat SoA output with the root at node 0. Exposed through a plain
-// C ABI and loaded via ctypes (see bvh_native.py).
+// heuristic along the longest axis, middle-split fallback, ranged leaves of
+// up to `leaf_size` items (contiguous in the output permutation), flat SoA
+// output with the root at node 0. Exposed through a plain C ABI and loaded
+// via ctypes (see bvh_native.py).
 //
 // Build: g++ -O3 -march=native -shared -fPIC bvh_builder.cpp -o libtinselbvh.so
 
@@ -44,6 +45,8 @@ struct Builder {
     int32_t* out_left;
     int32_t* out_right;
     int32_t* out_leaf;
+    int32_t* out_count;
+    int32_t leaf_size = 1;
     int32_t used = 0;
 
     // reusable sweep scratch
@@ -67,10 +70,11 @@ struct Builder {
         out_upper[node * 3 + 2] = hi.z;
 
         int64_t n = end - start;
-        if (n <= 1) {
+        if (n <= leaf_size) {
             out_leaf[node] = 1;
-            out_left[node] = (int32_t)indices[start];
+            out_left[node] = (int32_t)start;  // range start in final perm
             out_right[node] = 0;
+            out_count[node] = (int32_t)n;
             return;
         }
 
@@ -120,6 +124,7 @@ struct Builder {
         out_leaf[node] = 0;
         out_left[node] = lchild;
         out_right[node] = rchild;
+        out_count[node] = 0;
         // recurse (depth is O(log n) in practice; SAH trees are balanced
         // enough that native stack depth is not a concern at 10M items)
         build(lchild, start, start + split);
@@ -134,10 +139,14 @@ extern "C" {
 // Returns the number of nodes written (<= 2*n). Output arrays must have
 // capacity 2*n.
 int32_t tinsel_build_bvh(const float* lowers, const float* uppers, int64_t n,
-                         float* out_lower, float* out_upper, int32_t* out_left,
-                         int32_t* out_right, int32_t* out_leaf) {
+                         int32_t leaf_size, float* out_lower, float* out_upper,
+                         int32_t* out_left, int32_t* out_right,
+                         int32_t* out_leaf, int32_t* out_count,
+                         int32_t* out_perm) {
     if (n <= 0) return 0;
     Builder b;
+    b.leaf_size = leaf_size < 1 ? 1 : leaf_size;
+    b.out_count = out_count;
     b.lowers = reinterpret_cast<const Vec3*>(lowers);
     b.uppers = reinterpret_cast<const Vec3*>(uppers);
     b.centers.resize(n);
@@ -155,6 +164,7 @@ int32_t tinsel_build_bvh(const float* lowers, const float* uppers, int64_t n,
     b.out_leaf = out_leaf;
     int32_t root = b.alloc();
     b.build(root, 0, n);
+    for (int64_t i = 0; i < n; ++i) out_perm[i] = (int32_t)b.indices[i];
     return b.used;
 }
 }

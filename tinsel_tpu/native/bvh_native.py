@@ -47,8 +47,11 @@ def _ensure_lib():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
+            ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
@@ -57,7 +60,7 @@ def _ensure_lib():
     return _lib
 
 
-def build_bvh_native(lowers: np.ndarray, uppers: np.ndarray):
+def build_bvh_native(lowers: np.ndarray, uppers: np.ndarray, leaf_size: int = 8):
     from ..accel.build import BVH
 
     lib = _ensure_lib()
@@ -70,13 +73,17 @@ def build_bvh_native(lowers: np.ndarray, uppers: np.ndarray):
     out_left = np.empty(cap, np.int32)
     out_right = np.empty(cap, np.int32)
     out_leaf = np.empty(cap, np.int32)
+    out_count = np.empty(cap, np.int32)
+    out_perm = np.empty(n, np.int32)
 
     fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     used = lib.tinsel_build_bvh(
         fptr(lowers), fptr(uppers), ctypes.c_int64(n),
+        ctypes.c_int32(leaf_size),
         fptr(out_lower), fptr(out_upper),
         iptr(out_left), iptr(out_right), iptr(out_leaf),
+        iptr(out_count), iptr(out_perm),
     )
     if used <= 0:
         raise RuntimeError("native BVH build failed")
@@ -86,4 +93,6 @@ def build_bvh_native(lowers: np.ndarray, uppers: np.ndarray):
         left=out_left[:used].copy(),
         right=out_right[:used].copy(),
         leaf=out_leaf[:used].copy(),
+        count=out_count[:used].copy(),
+        perm=out_perm,
     )

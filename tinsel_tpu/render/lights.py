@@ -66,12 +66,8 @@ def primitive_sample(scene: SceneFlat, j: int, times, key):
         tri = jnp.clip(tri, h.tri_offset, h.tri_offset + h.num_tris - 1)
         bu, bv = uniform_sample_triangle(u1, u2)
         bw = 1.0 - bu - bv
-        a = scene.pool.tri_v0[tri]
-        b = scene.pool.tri_v1[tri]
-        c = scene.pool.tri_v2[tri]
-        n0 = scene.pool.tri_n0[tri]
-        n1 = scene.pool.tri_n1[tri]
-        n2 = scene.pool.tri_n2[tri]
+        a, b, c = scene.pool.gather_tri(tri)
+        n0, n1, n2 = scene.pool.gather_normals(tri)
         pos_l = bu[..., None] * a + bv[..., None] * b + bw[..., None] * c
         nrm_l = bu[..., None] * n0 + bv[..., None] * n1 + bw[..., None] * n2
         pos = transform_point(tr, pos_l)

@@ -14,50 +14,52 @@ fully differentiable w.r.t. sun position and turbidity.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from ..core.color import xyz_to_linear_rgb, yxy_to_xyz
 
 # Perez coefficients (A..E) as linear functions of turbidity T: value = m*T + b
 # rows: A, B, C, D, E; columns: (m, b).  Preetham et al. 1999, Table A.1.
-_PEREZ_x = jnp.array(
+_PEREZ_x = np.array(
     [[-0.0193, -0.2592],
      [-0.0665, 0.0008],
      [-0.0004, 0.2125],
      [-0.0641, -0.8989],
      [-0.0033, 0.0452]],
-    jnp.float32,
+    np.float32,
 )
-_PEREZ_y = jnp.array(
+_PEREZ_y = np.array(
     [[-0.0167, -0.2608],
      [-0.0950, 0.0092],
      [-0.0079, 0.2102],
      [-0.0441, -1.6537],
      [-0.0109, 0.0529]],
-    jnp.float32,
+    np.float32,
 )
-_PEREZ_Y = jnp.array(
+_PEREZ_Y = np.array(
     [[0.1787, -1.4630],
      [-0.3554, 0.4275],
      [-0.0227, 5.3251],
      [0.1206, -2.5771],
      [-0.0670, 0.3703]],
-    jnp.float32,
+    np.float32,
 )
 
 # Zenith chromaticity: x/y are cubic-in-sunTheta dotted with quadratic-in-T.
 # Preetham et al. 1999, eq. (8)-(9).
-_ZENITH_x = jnp.array(
+_ZENITH_x = np.array(
     [[0.00166, -0.00375, 0.00209, 0.0],
      [-0.02903, 0.06377, -0.03202, 0.00394],
      [0.11693, -0.21196, 0.06052, 0.25886]],
-    jnp.float32,
+    np.float32,
 )
-_ZENITH_y = jnp.array(
+_ZENITH_y = np.array(
     [[0.00275, -0.00610, 0.00317, 0.0],
      [-0.04214, 0.08970, -0.04153, 0.00516],
      [0.15346, -0.26756, 0.06670, 0.26688]],
-    jnp.float32,
+    np.float32,
 )
 
 

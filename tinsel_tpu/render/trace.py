@@ -40,7 +40,8 @@ from ..geometry.intersect import (
 )
 from ..scene.model import MESH, PLANE, SPHERE, SceneFlat
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")  # Python literal: an import-time device scalar closed
+# over in jit hits a catastrophic constant path on TPU (measured 3000x)
 
 
 @jax.tree_util.register_dataclass
@@ -94,19 +95,14 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
             )
             hit = tri >= 0
             gt = h.tri_offset + jnp.maximum(tri, 0)
-            _, t, u, v, w, n_geo = intersect_ray_tri(
-                scene.pool.tri_v0[gt], scene.pool.tri_v1[gt],
-                scene.pool.tri_v2[gt], o_l, d_l,
-            )
+            v0, v1, v2 = scene.pool.gather_tri(gt)
+            _, t, u, v, w, n_geo = intersect_ray_tri(v0, v1, v2, o_l, d_l)
             # local t equals world t: the transform maps the ray's parameter
             # linearly (uniform scale folded into |d_l|), so best_t is a
             # valid truncation bound across primitives.
             t = jnp.where(hit, t, INF)
-            ns = (
-                u[..., None] * scene.pool.tri_n0[gt]
-                + v[..., None] * scene.pool.tri_n1[gt]
-                + w[..., None] * scene.pool.tri_n2[gt]
-            )
+            n0, n1, n2 = scene.pool.gather_normals(gt)
+            ns = u[..., None] * n0 + v[..., None] * n1 + w[..., None] * n2
             # keep the smooth normal on the geometric side
             ns = ns * jnp.where(dot(ns, n_geo) < 0.0, -1.0, 1.0)[..., None]
             n = safe_normalize(

@@ -28,7 +28,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..accel.build import BVH, build_bvh, compute_skip_links, triangle_bounds
+from ..accel.build import (
+    BVH,
+    build_bvh,
+    compute_skip_links,
+    pack_nodes,
+    triangle_bounds,
+)
 from ..accel.traverse import MeshHandle, MeshPool
 
 # primitive type tags (static)
@@ -357,7 +363,7 @@ class Scene:
                     mesh_list.append(prim.mesh)
 
         handles: List[MeshHandle] = []
-        node_arrays = {k: [] for k in ("lower", "upper", "left", "right", "leaf", "skip")}
+        node_packed_list = []
         tri_arrays = {k: [] for k in ("v0", "v1", "v2", "n0", "n1", "n2", "cdf")}
         node_off = 0
         tri_off = 0
@@ -365,21 +371,27 @@ class Scene:
             if m.bvh is None or m.cdf is None or m.normals is None:
                 m.build()
             b = m.bvh
-            node_arrays["lower"].append(b.lower)
-            node_arrays["upper"].append(b.upper)
-            node_arrays["left"].append(b.left)
-            node_arrays["right"].append(b.right)
-            node_arrays["leaf"].append(b.leaf)
-            node_arrays["skip"].append(compute_skip_links(b))
-            v = m.positions[m.indices]  # (T, 3, 3)
-            n = m.normals[m.indices]
+            node_packed_list.append(pack_nodes(b, compute_skip_links(b)))
+            # deindex triangles in BVH-permuted order so ranged leaves are
+            # contiguous row blocks (one block gather per leaf test)
+            tri_idx = m.indices[b.perm]  # (T, 3) vertex ids, permuted
+            v = m.positions[tri_idx]  # (T, 3, 3)
+            n = m.normals[tri_idx]
             tri_arrays["v0"].append(v[:, 0])
             tri_arrays["v1"].append(v[:, 1])
             tri_arrays["v2"].append(v[:, 2])
             tri_arrays["n0"].append(n[:, 0])
             tri_arrays["n1"].append(n[:, 1])
             tri_arrays["n2"].append(n[:, 2])
-            tri_arrays["cdf"].append(m.cdf)
+            # area CDF over the permuted order (any order is a valid CDF)
+            areas = 0.5 * np.linalg.norm(
+                np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1
+            )
+            tri_arrays["cdf"].append(
+                (np.cumsum(areas) / max(float(areas.sum()), 1e-30)).astype(
+                    np.float32
+                )
+            )
             handles.append(
                 MeshHandle(
                     node_offset=node_off,
@@ -399,24 +411,48 @@ class Scene:
             out = np.concatenate([np.asarray(x) for x in xs], axis=0)
             return jnp.asarray(out, dtype)
 
+        if node_packed_list:
+            packed = np.concatenate(node_packed_list, axis=0)
+        else:
+            # empty pool: one terminal row (count=0, skip=-1)
+            packed = np.zeros((1, 8), np.float32)
+            packed[0, 7] = np.int32(-1).view(np.float32)
+
+        # (T, 12) row tables: one row gather per triangle test (row-gather
+        # cost is flat in width <= 16 floats on TPU; 12 pads for alignment)
+        def rows12(k0, k1, k2):
+            if not tri_arrays[k0]:
+                return jnp.zeros((1, 12), jnp.float32)
+            a = np.concatenate([np.asarray(x) for x in tri_arrays[k0]])
+            b = np.concatenate([np.asarray(x) for x in tri_arrays[k1]])
+            c = np.concatenate([np.asarray(x) for x in tri_arrays[k2]])
+            out = np.zeros((a.shape[0], 12), np.float32)
+            out[:, 0:3] = a
+            out[:, 3:6] = b
+            out[:, 6:9] = c
+            return jnp.asarray(out)
+
+        def planes9(k0, k1, k2):
+            cols = []
+            for k in (k0, k1, k2):
+                a = (
+                    np.concatenate([np.asarray(x) for x in tri_arrays[k]])
+                    if tri_arrays[k]
+                    else np.zeros((1, 3), np.float32)
+                )
+                cols.extend(
+                    jnp.asarray(np.ascontiguousarray(a[:, i]), jnp.float32)
+                    for i in range(3)
+                )
+            return tuple(cols)
+
         pool = MeshPool(
-            node_lower=cat(node_arrays["lower"], jnp.float32, 3),
-            node_upper=cat(node_arrays["upper"], jnp.float32, 3),
-            node_left=cat(node_arrays["left"], jnp.int32),
-            node_right=cat(node_arrays["right"], jnp.int32),
-            node_leaf=cat(node_arrays["leaf"], jnp.int32),
-            node_skip=(
-                cat(node_arrays["skip"], jnp.int32)
-                if node_arrays["skip"]
-                else jnp.full((1,), -1, jnp.int32)  # empty pool: terminate
-            ),
-            tri_v0=cat(tri_arrays["v0"], jnp.float32, 3),
-            tri_v1=cat(tri_arrays["v1"], jnp.float32, 3),
-            tri_v2=cat(tri_arrays["v2"], jnp.float32, 3),
-            tri_n0=cat(tri_arrays["n0"], jnp.float32, 3),
-            tri_n1=cat(tri_arrays["n1"], jnp.float32, 3),
-            tri_n2=cat(tri_arrays["n2"], jnp.float32, 3),
+            node_packed=jnp.asarray(packed),
+            tri_rows=rows12("v0", "v1", "v2"),
+            nrm_rows=rows12("n0", "n1", "n2"),
             tri_cdf=cat(tri_arrays["cdf"], jnp.float32),
+            tri_planes=planes9("v0", "v1", "v2"),
+            nrm_planes=planes9("n0", "n1", "n2"),
         )
 
         # materials: one row per primitive (simple and gradient-friendly)
