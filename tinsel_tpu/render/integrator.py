@@ -82,8 +82,15 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
         )
 
         # ------------------------------------------------------- hit shading
+        # one one-hot matrix per bounce drives every per-primitive lookup as
+        # an exact f32 matmul: the backward is a matmul on the MXU instead
+        # of a colliding scatter-add (see MaterialsFlat.select)
         idx = jnp.maximum(hit.prim, 0)
-        m = scene.materials.select(idx)
+        oh = jax.nn.one_hot(idx, scene.num_prims, dtype=jnp.float32)
+        ohpick = lambda a: jnp.matmul(
+            oh, a, precision=jax.lax.Precision.HIGHEST
+        )
+        m = scene.materials.select_oh(oh)
         in_air = st["eta"] == 1.0
         out_eta = jnp.where(in_air, m.eta, 1.0)
         out_absorb = jnp.where(in_air[..., None], m.absorption, 0.0)
@@ -102,9 +109,11 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
         n = hit.normal
 
         # emission: direct at depth 0; MIS-weighted on BSDF rays after
-        lsamp = scene.prim_light_samples[idx]
-        s_t = lerp(scene.prims.start_s[idx], scene.prims.end_s[idx], times)
-        area = scene.prim_local_area[idx] * s_t * s_t
+        lsamp = scene.prim_light_samples[idx]  # int lookup: gather, no grad
+        s_t = lerp(
+            ohpick(scene.prims.start_s), ohpick(scene.prims.end_s), times
+        )
+        area = ohpick(scene.prim_local_area) * s_t * s_t
         has_area = area > 0.0
         cos_term = jnp.clip(dot(-d, n), 1e-3, 1.0)
         light_pdf = t_safe * t_safe / jnp.maximum(area * cos_term, 1e-12)

@@ -151,7 +151,15 @@ def sample_lights(scene: SceneFlat, mat, eta_i, eta_o, p, n, wo, times, key):
                 c_bsdf * bpdf + c_light * light_pdf, 1e-12
             )
 
-            emission = scene.materials.emission[jnp.maximum(sh.prim, 0)]
+            # one-hot matmul, not a gather: emission carries material
+            # gradients and a gather's backward is a colliding scatter-add
+            oh_sh = jax.nn.one_hot(
+                jnp.maximum(sh.prim, 0), scene.num_prims, dtype=jnp.float32
+            )
+            emission = jnp.matmul(
+                oh_sh, scene.materials.emission,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             contrib = (
                 (weight * jnp.abs(dot(wi, n)) / jnp.maximum(light_pdf, 1e-3))[..., None]
                 * f

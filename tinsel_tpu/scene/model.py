@@ -260,8 +260,22 @@ class MaterialsFlat:
     transmission: jax.Array
 
     def select(self, i):
-        """Gather one (batched) material record by index array."""
-        return jax.tree_util.tree_map(lambda a: a[i], self)
+        """Gather one (batched) material record by index array.
+
+        Implemented as an exact one-hot matmul rather than a gather: the
+        backward of a gather is a scatter-add, which is pathologically slow
+        on TPU for colliding indices (every ray hits one of ~10 materials),
+        while the matmul transpose lands on the MXU. f32-exact because the
+        one-hot rows have a single 1.0 (precision pinned to HIGHEST)."""
+        m = self.emission.shape[0]
+        oh = jax.nn.one_hot(i, m, dtype=jnp.float32)
+        return self.select_oh(oh)
+
+    def select_oh(self, oh):
+        """Select with a precomputed one-hot matrix (shared across the other
+        per-primitive lookups of a bounce)."""
+        pick = lambda a: jnp.matmul(oh, a, precision=jax.lax.Precision.HIGHEST)
+        return jax.tree_util.tree_map(pick, self)
 
     @classmethod
     def from_host(cls, mats: list) -> "MaterialsFlat":
