@@ -284,3 +284,46 @@ def test_skip_links_cover_tree():
         visited.append(cur)
         cur = int(bvh.left[cur]) if not bvh.leaf[cur] else int(skip[cur])
     assert sorted(visited) == list(range(bvh.num_nodes))
+
+
+def test_any_hit_matches_closest_occlusion():
+    from tinsel_tpu.accel.traverse import intersect_mesh_any
+
+    positions, indices = _random_tri_soup(400, seed=21)
+    pool, _ = _pool_from_mesh(positions, indices)
+    rng = np.random.default_rng(22)
+    n_rays = 128
+    origins = rng.uniform(-15, 15, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    tmax = jnp.full((n_rays,), 20.0, jnp.float32)
+
+    t, tri, *_ = intersect_mesh(
+        pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs),
+        jnp.full((n_rays,), np.inf, np.float32),
+    )
+    expect = np.asarray((tri >= 0) & (t < 20.0))
+    got = np.asarray(
+        intersect_mesh_any(pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax)
+    )
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_trace_any_matches_trace_closest():
+    from tinsel_tpu.render.trace import trace_any, trace_closest
+    from tinsel_tpu.scene.presets import cornell_scene
+
+    sc = cornell_scene(width=8, height=8, max_depth=1)
+    flat = sc.flatten()
+    rng = np.random.default_rng(23)
+    n = 256
+    origins = jnp.asarray(rng.uniform(-0.9, 0.9, size=(n, 3)), jnp.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+    times = jnp.zeros((n,), jnp.float32)
+    tmax = jnp.full((n,), 0.8, jnp.float32)
+
+    hit = trace_closest(flat, origins, dirs, times)
+    expect = np.asarray((hit.prim >= 0) & (hit.t < 0.8))
+    got = np.asarray(trace_any(flat, origins, dirs, times, tmax))
+    np.testing.assert_array_equal(got, expect)

@@ -66,7 +66,10 @@ def _surface_area(lower, upper):
     return 2.0 * (e[..., 0] * e[..., 1] + e[..., 0] * e[..., 2] + e[..., 1] * e[..., 2])
 
 
-DEFAULT_LEAF_SIZE = 8
+# Tuned on TPU v5 (524k-tri sphere, dwell traversal): 16 beats 8 by ~1.85x
+# (walk steps dominate; halving node count outweighs the longer dwell) and
+# beats 31 (dwell starts to dominate). Must stay < 2^(31-COUNT_SHIFT).
+DEFAULT_LEAF_SIZE = 16
 
 
 def build_bvh(lowers: np.ndarray, uppers: np.ndarray,

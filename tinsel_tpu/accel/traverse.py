@@ -42,7 +42,6 @@ import jax.numpy as jnp
 
 from .build import COUNT_SHIFT, ITEM_MASK
 
-LEAF_MAX = 8  # must match build.DEFAULT_LEAF_SIZE
 TILE = 32768  # rays per early-exit tile (fixed-cost/linear-cost knee)
 INF = float("inf")  # Python literal: an import-time device scalar closed
 # over in jit hits a catastrophic constant path on TPU (measured 3000x)
@@ -288,6 +287,87 @@ def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
         pool, node_offset, tri_offset, origins, dirs, tmax, tile
     )
     return _refit_hit(pool, tri_offset, origins, dirs, best_tri, best_t)
+
+
+def _traverse_tile_any(pool: MeshPool, node_offset, tri_offset, o, d, tmax):
+    """Any-hit (occlusion) variant of the dwell traversal: a ray terminates
+    the moment any triangle hit with t < tmax is found. Shadow rays exit
+    orders of magnitude earlier than closest-hit (render.cpp's shadow Trace
+    has no such early-out; this is a TPU-side improvement)."""
+    rd = tuple(1.0 / c for c in d)
+    r = o[0].shape[0]
+
+    state = (
+        jnp.zeros((r,), jnp.int32),  # cursor; -1 done
+        jnp.zeros((r,), jnp.int32),  # k
+        jnp.zeros((r,), jnp.bool_),  # occluded
+    )
+
+    def cond(s):
+        return jnp.any(s[0] >= 0)
+
+    def body(s):
+        cur, k, occ = s
+        live = cur >= 0
+        row = pool.node_packed[node_offset + jnp.maximum(cur, 0)]
+        lo = (row[:, 0], row[:, 1], row[:, 2])
+        hi = (row[:, 3], row[:, 4], row[:, 5])
+        word = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        skip = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        count = jax.lax.shift_right_logical(word, COUNT_SHIFT)
+        payload = jax.lax.bitwise_and(word, jnp.int32(ITEM_MASK))
+
+        box_hit, box_t = _aabb_hit(lo, hi, o, rd)
+        box_ok = live & box_hit & (box_t < tmax)
+        is_leaf = count > 0
+
+        dwell = box_ok & is_leaf & (k < count)
+        trow = pool.tri_rows[tri_offset + jnp.where(dwell, payload + k, 0)]
+        va = (trow[:, 0], trow[:, 1], trow[:, 2])
+        vb = (trow[:, 3], trow[:, 4], trow[:, 5])
+        vc = (trow[:, 6], trow[:, 7], trow[:, 8])
+        hit, t = _tri_hit(va, vb, vc, o, d)
+        found = dwell & hit & (t < tmax)
+        occ = occ | found
+
+        k2 = jnp.where(dwell, k + 1, 0)
+        stay = dwell & (k2 < count) & ~found
+        nxt = jnp.where(box_ok & ~is_leaf, payload, skip)
+        nxt = jnp.where(found, jnp.int32(-1), nxt)  # early exit on hit
+        cur = jnp.where(live, jnp.where(stay, cur, nxt), cur)
+        k = jnp.where(stay, k2, 0)
+        return cur, k, occ
+
+    _, _, occ = jax.lax.while_loop(cond, body, state)
+    return occ
+
+
+def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
+                       tmax, num_tris: int | None = None, tile: int = TILE):
+    """Boolean occlusion query against one mesh sub-BVH: does any triangle
+    intersect with t < tmax? origins/dirs: (R, 3); tmax: (R,)."""
+    if num_tris is not None and num_tris <= 16:
+        t, tri, *_ = _intersect_mesh_brute(
+            pool, tri_offset, num_tris, origins, dirs, tmax
+        )
+        return tri >= 0
+
+    o = _split3(origins)
+    d = _split3(dirs)
+    r = origins.shape[0]
+    if r <= tile or r % tile != 0:
+        return _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax)
+    n_tiles = r // tile
+
+    def one(args):
+        return _traverse_tile_any(
+            pool, node_offset, tri_offset, args[0:3], args[3:6], args[6]
+        )
+
+    parts = tuple(c.reshape(n_tiles, tile) for c in o + d) + (
+        jnp.asarray(tmax, jnp.float32).reshape(n_tiles, tile),
+    )
+    return jax.lax.map(one, parts).reshape(r)
 
 
 def traversal_cost(pool: MeshPool, node_offset, tri_offset, origins, dirs,

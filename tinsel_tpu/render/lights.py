@@ -32,7 +32,7 @@ from ..core.sampling import uniform_sample_sphere, uniform_sample_triangle
 from ..core.search import lower_bound
 from ..scene.model import MESH, SPHERE, SceneFlat
 from .probe import probe_sample_uniforms
-from .trace import prim_transform, trace_closest
+from .trace import prim_transform, trace_any, trace_closest
 
 RAY_EPS = 1e-4  # kRayEpsilon, render.cpp:11
 K_BSDF_SAMPLES = 1.0
@@ -97,8 +97,10 @@ def sample_lights(scene: SceneFlat, mat, eta_i, eta_o, p, n, wo, times, key):
         wi, sky_color, sky_pdf = probe_sample_uniforms(scene.probe, r1, r2)
 
         shadow_o = p + face_forward(n, wi) * RAY_EPS
-        sh = trace_closest(scene, shadow_o, wi, times)
-        visible = sh.prim < 0
+        # probe rays only need visibility -> any-hit with early exit
+        visible = ~trace_any(
+            scene, shadow_o, wi, times, jnp.full(shape, jnp.inf, jnp.float32)
+        )
 
         bpdf = bsdf_pdf(mat, eta_i, eta_o, n, wo, wi)
         f = bsdf_eval(mat, eta_i, eta_o, n, wo, wi)

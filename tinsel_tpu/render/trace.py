@@ -22,7 +22,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..accel.traverse import intersect_mesh
+from ..accel.traverse import intersect_mesh, intersect_mesh_any
 from ..core.math import (
     Transform,
     face_forward,
@@ -116,3 +116,36 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
 
     best_n = face_forward(best_n, -dirs)
     return Hit(t=best_t, prim=best_prim, normal=best_n)
+
+
+def trace_any(scene: SceneFlat, origins, dirs, times, tmax) -> jax.Array:
+    """Occlusion query: any primitive hit with 0 < t < tmax. (R,) bool.
+
+    Cheaper than trace_closest for pure visibility (probe shadow rays):
+    mesh traversal exits at the first intersection — an early-out the
+    reference's shadow Trace (render.cpp:17-99) does not have."""
+    r = origins.shape[0]
+    occ = jnp.zeros((r,), bool)
+    tmax = jnp.asarray(tmax, jnp.float32)
+
+    for i, ps in enumerate(scene.prim_static):
+        tr = prim_transform(scene, i, times)
+        if ps.type == SPHERE:
+            hit, t, _ = intersect_ray_sphere(
+                tr.p, scene.prims.radius[i] * tr.s, origins, dirs
+            )
+            occ = occ | (hit & (t > 0.0) & (t < tmax))
+        elif ps.type == PLANE:
+            hit, t, _ = intersect_ray_plane(scene.prims.plane[i], origins, dirs)
+            occ = occ | (hit & (t > 0.0) & (t < tmax))
+        else:  # MESH
+            h = ps.mesh
+            o_l = inverse_transform_point(tr, origins)
+            d_l = inverse_transform_vector(tr, dirs)
+            sg = jax.lax.stop_gradient
+            occ = occ | intersect_mesh_any(
+                sg(scene.pool), h.node_offset, h.tri_offset, sg(o_l),
+                sg(d_l), sg(jnp.where(occ, 0.0, tmax)),
+                num_tris=h.num_tris,
+            )
+    return occ

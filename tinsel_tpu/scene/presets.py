@@ -128,6 +128,68 @@ def cornell_scene(width: int = 256, height: int = 256, max_depth: int = 4) -> Sc
     return scene
 
 
+def envmesh_scene(width: int = 256, height: int = 256, max_depth: int = 4,
+                  detail: int = 256) -> Scene:
+    """Environment-lit high-poly mesh over a ground plane — the ajaxenv.tin
+    analog (env-lit ~500k-tri bust, BASELINE.json configs): a Perlin-
+    displaced sphere of 2*detail^2 triangles under the gradient sky. The
+    end-to-end heavy-traversal benchmark scene."""
+    from .procedural import sphere as proc_sphere
+
+    scene = Scene()
+    scene.camera = Camera(
+        position=np.array([0.0, 1.0, 3.2], np.float32),
+        fov=float(np.deg2rad(40.0)),
+    )
+    scene.options = Options(
+        width=width, height=height, max_depth=max_depth,
+        filter_type="gaussian", filter_width=1.0, filter_falloff=1.0,
+    )
+    scene.sky = Sky(
+        horizon=np.array([0.9, 0.85, 0.75], np.float32),
+        zenith=np.array([0.25, 0.4, 0.75], np.float32),
+    )
+
+    mesh = proc_sphere(radius=0.8, n_theta=detail, n_phi=detail)
+    # radial Perlin displacement -> irregular BVH like a scanned bust
+    from ..utils.perlin import fractal3d
+
+    p = mesh.positions
+    disp = np.asarray(
+        fractal3d(p[:, 0] * 3.0, p[:, 1] * 3.0, p[:, 2] * 3.0, octaves=4)
+    ).astype(np.float32)
+    r = np.linalg.norm(p, axis=-1, keepdims=True)
+    mesh.positions = (p / np.maximum(r, 1e-9)) * (
+        0.8 + 0.18 * disp[:, None]
+    ).astype(np.float32)
+    mesh.build()
+
+    scene.add_primitive(
+        Primitive(
+            type=MESH,
+            mesh=mesh,
+            start_transform=HostTransform(
+                p=np.array([0.0, 1.0, 0.0], np.float32)
+            ),
+            material=Material(
+                color=np.array([0.65, 0.6, 0.55], np.float32),
+                roughness=0.35,
+                specular=0.6,
+            ),
+        )
+    )
+    scene.add_primitive(
+        Primitive(
+            type=PLANE,
+            plane=np.array([0.0, 1.0, 0.0, 0.0], np.float32),
+            material=Material(
+                color=np.array([0.5, 0.5, 0.5], np.float32), roughness=0.8
+            ),
+        )
+    )
+    return scene
+
+
 def dryrun_scene(width: int = 16, height: int = 16) -> Scene:
     """Tiny scene exercising every primitive type + a light, for compile
     validation on virtual devices."""
