@@ -55,6 +55,20 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
         alive=jnp.ones((r,), bool),
     )
 
+    def bounce_or_skip(st, i):
+        # whole-bounce skip once every lane is dead: scan must run to
+        # max_depth for reverse-mode autodiff, but a cond'd body makes the
+        # trailing bounces of deep scenes (furnace maxDepth 128) ~free
+        return (
+            jax.lax.cond(
+                jnp.any(st["alive"]) | (i == 0),
+                lambda s: bounce(s, i),
+                lambda s: s,
+                st,
+            ),
+            None,
+        )
+
     def bounce(st, i):
         kb = jax.random.fold_in(key, i)
         o, d = st["o"], st["d"]
@@ -175,9 +189,9 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
             rad=rad,
             alive=alive,
         )
-        return new_state, None
+        return new_state
 
-    state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth))
+    state, _ = jax.lax.scan(bounce_or_skip, state, jnp.arange(max_depth))
     return state["rad"]
 
 
