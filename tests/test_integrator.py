@@ -210,3 +210,24 @@ def test_pathtrace_direct_api_shapes():
     rad = path_trace(flat, o, d, jnp.zeros((64,)), 3, jax.random.key(0))
     assert rad.shape == (64, 3)
     assert np.isfinite(np.asarray(rad)).all()
+
+
+def test_instancing_shares_pool_geometry():
+    """N instances of one mesh must produce ONE pool segment (dedup by
+    object identity, like render.cu:1002-1011) and render correctly."""
+    import numpy as np
+    from tinsel_tpu.scene.presets import instances_scene
+    from tinsel_tpu.render.renderer import render
+
+    sc = instances_scene(width=24, height=24, max_depth=2, grid=3)
+    flat = sc.flatten()
+    mesh_prims = [p for p in flat.prim_static if p.mesh is not None]
+    assert len(mesh_prims) == 9
+    # all nine share one pool segment
+    offs = {(p.mesh.node_offset, p.mesh.tri_offset) for p in mesh_prims}
+    assert len(offs) == 1
+    assert flat.pool.num_tris == mesh_prims[0].mesh.num_tris
+
+    acc = np.asarray(render(sc, spp=2))
+    assert np.isfinite(acc).all()
+    assert acc[..., :3].max() > 1e-3

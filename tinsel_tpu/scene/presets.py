@@ -190,6 +190,69 @@ def envmesh_scene(width: int = 256, height: int = 256, max_depth: int = 4,
     return scene
 
 
+def instances_scene(width: int = 256, height: int = 256, max_depth: int = 3,
+                    grid: int = 4) -> Scene:
+    """Instancing stress test (TestPaniq analog, testMaterials.h:175-341):
+    a grid x grid field of primitives SHARING one mesh object — the pool
+    stores the geometry once (flatten dedups by object identity, like the
+    reference's mesh.id dedup render.cu:1002-1011) while every instance
+    gets its own transform and palette material."""
+    from .procedural import capsule
+
+    scene = Scene()
+    scene.camera = Camera(
+        position=np.array([0.0, 2.5, 6.0], np.float32),
+        fov=float(np.deg2rad(42.0)),
+    )
+    scene.options = Options(width=width, height=height, max_depth=max_depth)
+    scene.sky = Sky(
+        horizon=np.array([0.8, 0.8, 0.85], np.float32),
+        zenith=np.array([0.3, 0.4, 0.65], np.float32),
+    )
+
+    shared = capsule(radius=0.3, half_height=0.25, slices=12, segments=24)
+    shared.build()
+
+    for iy in range(grid):
+        for ix in range(grid):
+            t = (iy * grid + ix) / max(grid * grid - 1, 1)
+            from ..core.color import hsv_to_rgb
+            import jax.numpy as jnp
+
+            rgb = np.asarray(
+                hsv_to_rgb(jnp.float32(t * 0.8), jnp.float32(0.6), jnp.float32(0.8))
+            ).astype(np.float32)
+            scene.add_primitive(
+                Primitive(
+                    type=MESH,
+                    mesh=shared,  # same object: instanced
+                    start_transform=HostTransform(
+                        p=np.array(
+                            [
+                                (ix - (grid - 1) / 2) * 1.2,
+                                0.55,
+                                (iy - (grid - 1) / 2) * 1.2,
+                            ],
+                            np.float32,
+                        )
+                    ),
+                    material=Material(
+                        color=rgb, roughness=0.3 + 0.5 * t, specular=0.6
+                    ),
+                )
+            )
+    scene.add_primitive(
+        Primitive(
+            type=PLANE,
+            plane=np.array([0.0, 1.0, 0.0, 0.0], np.float32),
+            material=Material(
+                color=np.array([0.55, 0.55, 0.55], np.float32), roughness=0.8
+            ),
+        )
+    )
+    return scene
+
+
 def dryrun_scene(width: int = 16, height: int = 16) -> Scene:
     """Tiny scene exercising every primitive type + a light, for compile
     validation on virtual devices."""
