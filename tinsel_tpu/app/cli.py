@@ -29,7 +29,14 @@ def build_parser():
     p.add_argument("-exposure", type=float, default=None)
     p.add_argument("-maxdepth", type=int, default=None)
     p.add_argument("-clamp", type=float, default=None)
-    p.add_argument("-mode", choices=["pathtrace", "normals"], default=None)
+    p.add_argument(
+        "-mode", choices=["pathtrace", "normals", "complexity"], default=None
+    )
+    p.add_argument(
+        "-progressive", type=int, default=0, metavar="N",
+        help="write a preview PNG every N spp (headless analog of the "
+        "reference's progressive GLUT viewer, main.cpp:242-258)",
+    )
     p.add_argument("-o", "--output", default=None, help="output PNG path")
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-denoise", action="store_true", help="NLM pass on output")
@@ -88,6 +95,8 @@ def render_one(scene, args, out_path: str):
 
     spp = o.max_samples if o.mode == "pathtrace" else 1
     chunk = max(1, min(spp, (1 << 20) // max(o.width * o.height, 1)))
+    if args.progressive:
+        chunk = max(1, min(chunk, args.progressive))
     step = make_accumulate_fn(o, chunk)
 
     accum = jnp.zeros((o.height, o.width, 4), jnp.float32)
@@ -110,6 +119,15 @@ def render_one(scene, args, out_path: str):
             accum = step_rem(accum, flat, cam, key, c)
         s += this
         c += 1
+        if args.progressive and s % args.progressive == 0 and s < spp:
+            img = np.asarray(resolve(accum, exposure=o.exposure, limit=o.limit))
+            base, ext = os.path.splitext(out_path)
+            write_png(f"{base}_spp{s:05d}{ext or '.png'}", img)
+            el = time.perf_counter() - t0
+            print(
+                f"{s} spp  render: ({el / max(s - start_spp, 1) * 1e3:.1f} "
+                f"ms/spp) total: ({el * 1e3:.1f} ms)", flush=True
+            )
         if args.checkpoint and s - ckpt_mark >= args.checkpoint_every:
             accum.block_until_ready()
             save_checkpoint(args.checkpoint, np.asarray(accum), s, args.seed)
@@ -123,7 +141,7 @@ def render_one(scene, args, out_path: str):
         f"{o.width * o.height * done / max(dt, 1e-9) / 1e6:.2f} Mpaths/s)"
     )
 
-    if o.mode == "normals":
+    if o.mode in ("normals", "complexity"):
         img = np.asarray(jnp.clip(accum[..., :3], 0.0, 1.0))
     else:
         img = resolve(accum, exposure=o.exposure, limit=o.limit)
