@@ -24,6 +24,26 @@ from ..render.renderer import render_pass
 from ..scene.model import SceneFlat
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Initialize multi-host execution (jax.distributed over DCN).
+
+    Call once per host before creating the mesh; after this,
+    `jax.devices()` spans the whole slice and make_mesh/sharded_* work
+    unchanged — XLA routes the framebuffer/gradient psums over ICI within
+    a host's chips and DCN across hosts. With no arguments, relies on the
+    TPU environment's auto-bootstrap (GKE/Cloud TPU metadata)."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: int | None = None, spp_parallel: int = 1) -> Mesh:
     """Build a (rays, spp) device mesh over the first n devices."""
     devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
