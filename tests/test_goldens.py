@@ -1,0 +1,52 @@
+"""Golden-image regression tests.
+
+Each golden is a 32x32 low-spp render at a fixed seed on the CPU backend —
+deterministic (threefry + fixed reduction order), so refactors that change
+results show up immediately. Regenerate deliberately with:
+
+    REGEN_GOLDENS=1 python -m pytest tests/test_goldens.py
+
+Tolerance is loose enough to survive op-reassociation-level numeric drift
+but catches any sampling/shading/traversal logic change (the reference's
+analog is its golden-scene visual suite, main.cpp:90-93)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+SCENES_DIR = os.path.join(os.path.dirname(__file__), "..", "scenes")
+CASES = ["simple", "cornell", "gloss", "transmission"]
+
+
+def _render(name):
+    import dataclasses
+
+    from tinsel_tpu.scene.loaders.tin import load_tin
+    from tinsel_tpu.render.renderer import render
+
+    scene = load_tin(os.path.join(SCENES_DIR, name + ".tin"))
+    opts = dataclasses.replace(
+        scene.options, width=32, height=32,
+        max_depth=min(scene.options.max_depth, 4),
+    )
+    acc = np.asarray(render(scene, spp=8, seed=42, options=opts))
+    return acc[..., :3] / np.maximum(acc[..., 3:4], 1e-7)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_golden(name):
+    img = _render(name)
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if os.environ.get("REGEN_GOLDENS") or not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(path, img=img.astype(np.float32))
+        pytest.skip(f"golden written: {path}")
+    ref = np.load(path)["img"]
+    assert img.shape == ref.shape
+    # mean abs error relative to mean brightness
+    denom = max(float(np.abs(ref).mean()), 1e-6)
+    mae = float(np.abs(img - ref).mean()) / denom
+    assert mae < 0.02, f"{name}: golden drift mae={mae:.4f}"
