@@ -88,3 +88,13 @@ def test_emitter_nee_matches_bsdf_only():
     right = img[int(h * 0.75) :, w // 2 :].mean()
     assert left > 0.005 and right > 0.005
     assert abs(left - right) / max(left, right) < 0.35, (left, right)
+
+
+def test_tungsten_sample_scene():
+    from tinsel_tpu.scene.loaders.tungsten import load_tungsten
+
+    scene = load_tungsten(os.path.join(SCENES_DIR, "tungsten_box.json"))
+    assert len(scene.primitives) == 8  # 5 walls + 2 spheres + light quad
+    assert sum(1 for p in scene.primitives if p.light_samples) == 1
+    acc = _render_small(scene, spp=2)
+    assert np.isfinite(acc).all() and acc[..., :3].max() > 1e-4

@@ -26,6 +26,7 @@ from ..model import (
     Options,
     Primitive,
     Scene,
+    SPHERE,
 )
 from .mesh_io import import_mesh
 from .tin import _look_at_quat
@@ -152,7 +153,19 @@ def load_tungsten(path: str, scene: Scene | None = None) -> Scene:
             scene.sky.zenith = scene.sky.horizon.copy()
             continue
 
-        if ptype == "quad":
+        if ptype == "sphere":
+            # scale (uniform or per-axis; tinsel supports uniform only,
+            # like the reference's Primitive scale) sets the radius
+            sc_val = tr_node.get("scale", 1.0)
+            radius = float(sc_val) if not isinstance(sc_val, (list, tuple)) \
+                else float(np.mean(sc_val))
+            scene.add_primitive(
+                Primitive(
+                    type=SPHERE, radius=radius, start_transform=tr,
+                    material=mat, light_samples=light_samples,
+                )
+            )
+        elif ptype == "quad":
             mesh = _quad_mesh_scaled(scale)
             mesh.build()
             prim = Primitive(
