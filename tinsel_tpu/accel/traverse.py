@@ -269,7 +269,7 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
 
 
 def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
-                   num_tris: int | None = None, tile: int = TILE):
+                   num_tris: int | None = None, tile: int | None = None):
     """Vectorized closest-hit against one mesh sub-BVH. origins/dirs: (R, 3);
     tmax: (R,). Returns (t, tri_local, u, v, w, n_geo) with t=inf on miss;
     tri_local indexes the *BVH-permuted* pool order.
@@ -283,6 +283,7 @@ def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
             pool, tri_offset, num_tris, origins, dirs, tmax
         )
 
+    tile = TILE if tile is None else tile
     best_t, best_tri = _run_tiled(
         pool, node_offset, tri_offset, origins, dirs, tmax, tile
     )
@@ -343,7 +344,7 @@ def _traverse_tile_any(pool: MeshPool, node_offset, tri_offset, o, d, tmax):
 
 
 def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
-                       tmax, num_tris: int | None = None, tile: int = TILE):
+                       tmax, num_tris: int | None = None, tile: int | None = None):
     """Boolean occlusion query against one mesh sub-BVH: does any triangle
     intersect with t < tmax? origins/dirs: (R, 3); tmax: (R,)."""
     if num_tris is not None and num_tris <= 16:
@@ -352,6 +353,7 @@ def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
         )
         return tri >= 0
 
+    tile = TILE if tile is None else tile
     o = _split3(origins)
     d = _split3(dirs)
     r = origins.shape[0]
@@ -371,13 +373,14 @@ def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
 
 
 def traversal_cost(pool: MeshPool, node_offset, tri_offset, origins, dirs,
-                   tmax, num_tris: int | None = None, tile: int = TILE):
+                   tmax, num_tris: int | None = None, tile: int | None = None):
     """Per-ray step count (node visits + leaf dwell steps) — the
     `eComplexity` debug view the reference reserves but never implements
     (render.h:45, render.cpp:516-519). Returns (R,) f32 counts."""
     if num_tris is not None and num_tris <= 16:
         return jnp.full((origins.shape[0],), float(num_tris), jnp.float32)
 
+    tile = TILE if tile is None else tile
     out = _run_tiled(
         pool, node_offset, tri_offset, origins, dirs, tmax, tile,
         with_steps=True,

@@ -10,8 +10,16 @@ loop is a `lax.scan` whose body does
 
 with every per-path branch (hit/miss, light-hit termination, pdf<=0 death,
 specular MIS exceptions, eta medium toggling) carried as masks. Dead lanes
-idle exactly like the reference's Disabled paths (wavefront.cu:918); ragged
-compaction can later swap in without changing semantics.
+idle exactly like the reference's Disabled paths (wavefront.cu:918).
+
+Ragged-parallelism strategy (measured on TPU v5): full alive-compaction
+(argsort by liveness + permute around trace) was prototyped and bought only
+~10% on a half-dead 65k batch against a 524k-tri mesh — the surviving rays'
+per-tile worst case dominates regardless of packing. What ships instead:
+(a) per-tile early exit inside the traversal (accel/traverse.py), and
+(b) a whole-bounce lax.cond skip once every lane is dead, which makes the
+trailing bounces of deep scenes (furnace maxDepth 128) ~free while keeping
+the scan structure reverse-differentiable.
 
 Numerical contracts preserved: kRayEpsilon 1e-4 offsets along
 FaceForward(n, dir) (render.cpp:363), MIS sample-count weighting with
