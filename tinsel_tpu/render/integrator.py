@@ -42,16 +42,10 @@ from .probe import probe_pdf, sky_eval
 from .trace import trace_closest
 
 
-def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
-    """Trace a batch of paths; returns (R, 3) radiance.
-
-    origins/dirs: (R, 3); times: (R,); key: single threefry key (all draws
-    derive from it by fold_in, independent across lanes by shape).
-    """
+def _initial_state(origins, dirs):
     r = origins.shape[0]
     f32 = jnp.float32
-
-    state = dict(
+    return dict(
         o=origins,
         d=dirs,
         eta=jnp.ones((r,), f32),
@@ -63,19 +57,10 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
         alive=jnp.ones((r,), bool),
     )
 
-    def bounce_or_skip(st, i):
-        # whole-bounce skip once every lane is dead: scan must run to
-        # max_depth for reverse-mode autodiff, but a cond'd body makes the
-        # trailing bounces of deep scenes (furnace maxDepth 128) ~free
-        return (
-            jax.lax.cond(
-                jnp.any(st["alive"]) | (i == 0),
-                lambda s: bounce(s, i),
-                lambda s: s,
-                st,
-            ),
-            None,
-        )
+
+def _make_bounce(scene: SceneFlat, times, key, r):
+    """The integrator step shared by both backends (scan and while)."""
+    f32 = jnp.float32
 
     def bounce(st, i):
         kb = jax.random.fold_in(key, i)
@@ -199,7 +184,60 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
         )
         return new_state
 
+    return bounce
+
+
+def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
+    """Trace a batch of paths; returns (R, 3) radiance. The differentiable
+    backend: `lax.scan` over bounces (reverse-mode needs the static loop
+    structure), with a whole-bounce cond skip once every lane is dead so
+    trailing bounces of deep scenes (furnace maxDepth 128) are ~free.
+
+    origins/dirs: (R, 3); times: (R,); key: single threefry key (all draws
+    derive from it by fold_in, independent across lanes by shape).
+    """
+    r = origins.shape[0]
+    bounce = _make_bounce(scene, times, key, r)
+    state = _initial_state(origins, dirs)
+
+    def bounce_or_skip(st, i):
+        return (
+            jax.lax.cond(
+                jnp.any(st["alive"]) | (i == 0),
+                lambda s: bounce(s, i),
+                lambda s: s,
+                st,
+            ),
+            None,
+        )
+
     state, _ = jax.lax.scan(bounce_or_skip, state, jnp.arange(max_depth))
+    return state["rad"]
+
+
+def path_trace_while(scene: SceneFlat, origins, dirs, times, max_depth: int,
+                     key):
+    """Megakernel-style backend: one `lax.while_loop` over bounces that
+    exits the moment every lane dies — the analog of the reference's GPU
+    megakernel per-thread depth loop (render.cu:725-883), one of its
+    interchangeable backends behind the Renderer interface (render.h:75-79).
+
+    Shares `_make_bounce` with the scan backend, so results are identical
+    at equal seeds. Forward-only: while_loop has no reverse rule — use
+    path_trace (scan) for gradients."""
+    r = origins.shape[0]
+    bounce = _make_bounce(scene, times, key, r)
+    state = _initial_state(origins, dirs)
+
+    def cond(carry):
+        st, i = carry
+        return (i < max_depth) & (jnp.any(st["alive"]) | (i == 0))
+
+    def body(carry):
+        st, i = carry
+        return bounce(st, i), i + 1
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
     return state["rad"]
 
 

@@ -28,7 +28,12 @@ from ..core.math import clamp_length, lerp
 from ..scene.model import Options, SceneFlat
 from .camera import CameraParams, generate_rays
 from .filters import splat
-from .integrator import path_trace, trace_complexity, trace_normals
+from .integrator import (
+    path_trace,
+    path_trace_while,
+    trace_complexity,
+    trace_normals,
+)
 
 
 def _sample_grid(width: int, height: int, cam: CameraParams, key, spp: int = 1):
@@ -59,6 +64,7 @@ def render_pass(
     filter_width: float = 0.75,
     filter_falloff: float = 1.0,
     mode: str = "pathtrace",
+    backend: str = "scan",
 ):
     """One pass of `samples_per_pass` spp -> (H, W, 4) RGBA increment."""
     s = samples_per_pass
@@ -75,7 +81,8 @@ def render_pass(
             [rgb, jnp.ones((height, width, 1), jnp.float32)], axis=-1
         )
 
-    radiance = path_trace(
+    integrate = path_trace_while if backend == "while" else path_trace
+    radiance = integrate(
         scene, origins, dirs, times_flat, max_depth, jax.random.fold_in(key, 2)
     )
     if math.isfinite(clamp):
@@ -104,6 +111,7 @@ def make_render_pass(options: Options, samples_per_pass: int = 1):
         filter_width=options.filter_width,
         filter_falloff=options.filter_falloff,
         mode=options.mode,
+        backend=options.backend,
     )
 
 

@@ -238,6 +238,7 @@ class Options:
     filter_width: float = 0.75
     filter_falloff: float = 1.0
     mode: str = "pathtrace"  # "pathtrace" | "normals" | "complexity"
+    backend: str = "scan"  # "scan" (differentiable) | "while" (megakernel)
 
 
 # --------------------------------------------------------------------- device
