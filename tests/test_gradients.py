@@ -19,7 +19,7 @@ from tinsel_tpu.diff.gradients import render_loss
 from tinsel_tpu.scene.model import Options
 
 
-def _setup(w=24, h=24, depth=3):
+def _setup(w=24, h=24, depth=2):
     scene = cornell_scene(width=w, height=h, max_depth=depth)
     flat = scene.flatten()
     cam = CameraParams.from_host(scene.camera)
@@ -125,5 +125,5 @@ def test_inverse_rendering_reduces_albedo_error():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from examples.inverse_rendering import main as inv_main
 
-    err0, err1 = inv_main(steps=25, size=32, seed=3)
+    err0, err1 = inv_main(steps=15, size=24, seed=3)
     assert err1 < err0 * 0.75, (err0, err1)
