@@ -42,7 +42,11 @@ import jax.numpy as jnp
 
 from .build import COUNT_SHIFT, ITEM_MASK
 
-TILE = 32768  # rays per early-exit tile (fixed-cost/linear-cost knee)
+TILE = 8192  # rays per early-exit tile; tuned on TPU v5. Small tiles
+# localize early exit to raster regions (16-instance scene prefers 2048);
+# deep-bounce scenes amortize per-step fixed cost over longer tails
+# (524k-tri env scene prefers 8192-32768). 8192 is the best compromise
+# across the benchmark matrix; override per-call via intersect_mesh(tile=).
 INF = float("inf")  # Python literal: an import-time device scalar closed
 # over in jit hits a catastrophic constant path on TPU (measured 3000x)
 
@@ -246,10 +250,27 @@ def _refit_hit(pool: MeshPool, tri_offset, origins, dirs, best_tri, best_t):
 
 def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
                with_steps=False):
+    r = origins.shape[0]
+    if r > tile and r % tile != 0:
+        # pad with degenerate rays (far origin, tmax 0 -> root test fails,
+        # one step) so every batch size gets per-tile early exit
+        pad = tile - r % tile
+        origins = jnp.concatenate(
+            [origins, jnp.full((pad, 3), 1e9, jnp.float32)]
+        )
+        dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
+        tmax = jnp.concatenate(
+            [jnp.asarray(tmax, jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        )
+        out = _run_tiled(
+            pool, node_offset, tri_offset, origins, dirs, tmax, tile,
+            with_steps,
+        )
+        return tuple(x[:r] for x in out)
+
     o = _split3(origins)
     d = _split3(dirs)
-    r = origins.shape[0]
-    if r <= tile or r % tile != 0:
+    if r <= tile:
         return _traverse_tile(
             pool, node_offset, tri_offset, o, d, tmax, with_steps
         )
@@ -354,10 +375,23 @@ def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
         return tri >= 0
 
     tile = TILE if tile is None else tile
+    r = origins.shape[0]
+    if r > tile and r % tile != 0:
+        pad = tile - r % tile
+        origins = jnp.concatenate(
+            [origins, jnp.full((pad, 3), 1e9, jnp.float32)]
+        )
+        dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
+        tmax = jnp.concatenate(
+            [jnp.asarray(tmax, jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        )
+        return intersect_mesh_any(
+            pool, node_offset, tri_offset, origins, dirs, tmax, tile=tile
+        )[:r]
+
     o = _split3(origins)
     d = _split3(dirs)
-    r = origins.shape[0]
-    if r <= tile or r % tile != 0:
+    if r <= tile:
         return _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax)
     n_tiles = r // tile
 

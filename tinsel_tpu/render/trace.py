@@ -63,55 +63,128 @@ def prim_transform(scene: SceneFlat, i: int, times):
     return interpolate_transform(start, end, times)
 
 
+def _mesh_groups(scene: SceneFlat):
+    """Static grouping of mesh primitives by shared pool segment (instances
+    of one mesh). Returns ({(node_off, tri_off): [prim indices]}, others)."""
+    groups: dict = {}
+    others = []
+    for i, ps in enumerate(scene.prim_static):
+        if ps.type == MESH:
+            k = (ps.mesh.node_offset, ps.mesh.tri_offset)
+            groups.setdefault(k, []).append(i)
+        else:
+            others.append(i)
+    return groups, others
+
+
+def _instance_box_mask(scene: SceneFlat, noff, o_l, d_l, tmax_b):
+    """Top-level cull: per-instance local-space root-AABB slab test.
+    o_l/d_l: (I, R, 3) instance-local rays. Returns (I, R) bool 'may hit'.
+    Rays failing it get tmax 0 in that instance's traversal copy — a
+    one-step exit, so camera-coherent tiles skip whole instances. This is
+    the TPU form of the reference's top-level scene BVH over primitives
+    (intersection.h:751-799) for the instanced case."""
+    row = scene.pool.node_packed[noff]  # (8,) root row of the segment
+    lo = row[0:3][None, None, :]
+    hi = row[3:6][None, None, :]
+    rd = 1.0 / d_l
+    t0 = (lo - o_l) * rd
+    t1 = (hi - o_l) * rd
+    tn = jnp.minimum(t0, t1).max(axis=-1)
+    tf = jnp.maximum(t0, t1).min(axis=-1)
+    tn = jnp.maximum(tn, 0.0)
+    return (tn <= tf) & (tn < tmax_b)
+
+
 def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
-    """Closest-hit over all primitives. origins/dirs (R,3), times (R,)."""
+    """Closest-hit over all primitives. origins/dirs (R,3), times (R,).
+
+    Instances of one mesh are traced in ONE batched traversal: rays are
+    transformed into every instance frame, the shared sub-BVH is traversed
+    once over the (I*R,) batch, and the per-ray winner is a min over
+    instances — the TPU answer to the reference's fused two-level stack
+    with per-mesh re-transformation (render.cu:287-299). Serializing I
+    traversals instead pays the loop fixed costs I times (measured 16
+    capsule instances: ~10x slower than one batched traversal)."""
     r = origins.shape[0]
     best_t = jnp.full((r,), INF)
     best_prim = jnp.full((r,), -1, jnp.int32)
     best_n = jnp.zeros((r, 3), jnp.float32)
+    sg = jax.lax.stop_gradient
 
-    for i, ps in enumerate(scene.prim_static):
+    groups, others = _mesh_groups(scene)
+
+    for i in others:
+        ps = scene.prim_static[i]
         tr = prim_transform(scene, i, times)
-
         if ps.type == SPHERE:
             hit, t, n = intersect_ray_sphere(
                 tr.p, scene.prims.radius[i] * tr.s, origins, dirs
             )
-        elif ps.type == PLANE:
+        else:  # PLANE
             hit, t, n = intersect_ray_plane(scene.prims.plane[i], origins, dirs)
-        else:  # MESH
-            h = ps.mesh
-            o_l = inverse_transform_point(tr, origins)
-            d_l = inverse_transform_vector(tr, dirs)
-            # Traversal is a *discrete search* for the winning triangle: run
-            # it under stop_gradient (lax.while_loop has no reverse rule and
-            # which-triangle-wins is piecewise constant anyway), then
-            # re-evaluate the intersection differentiably at the found
-            # triangle so gradients flow to vertices/transforms/ray params.
-            sg = jax.lax.stop_gradient
-            _, tri, *_ = intersect_mesh(
-                sg(scene.pool), h.node_offset, h.tri_offset, sg(o_l), sg(d_l),
-                sg(best_t), num_tris=h.num_tris,
-            )
-            hit = tri >= 0
-            gt = h.tri_offset + jnp.maximum(tri, 0)
-            v0, v1, v2 = scene.pool.gather_tri(gt)
-            _, t, u, v, w, n_geo = intersect_ray_tri(v0, v1, v2, o_l, d_l)
-            # local t equals world t: the transform maps the ray's parameter
-            # linearly (uniform scale folded into |d_l|), so best_t is a
-            # valid truncation bound across primitives.
-            t = jnp.where(hit, t, INF)
-            n0, n1, n2 = scene.pool.gather_normals(gt)
-            ns = u[..., None] * n0 + v[..., None] * n1 + w[..., None] * n2
-            # keep the smooth normal on the geometric side
-            ns = ns * jnp.where(dot(ns, n_geo) < 0.0, -1.0, 1.0)[..., None]
-            n = safe_normalize(
-                quat_rotate(tr.q, ns), fallback=safe_normalize(quat_rotate(tr.q, n_geo))
-            )
-
         closer = hit & (t > 0.0) & (t < best_t)
         best_t = jnp.where(closer, t, best_t)
         best_prim = jnp.where(closer, jnp.int32(i), best_prim)
+        best_n = jnp.where(closer[..., None], n, best_n)
+
+    import numpy as _np
+
+    for (noff, toff), idxs in groups.items():
+        h = scene.prim_static[idxs[0]].mesh
+        n_inst = len(idxs)
+        trs = [prim_transform(scene, i, times) for i in idxs]
+        o_l = jnp.stack([inverse_transform_point(t_, origins) for t_ in trs])
+        d_l = jnp.stack([inverse_transform_vector(t_, dirs) for t_ in trs])
+
+        # Traversal is a *discrete search* for the winning triangle: run it
+        # under stop_gradient (lax.while_loop has no reverse rule and
+        # which-triangle-wins is piecewise constant anyway), then
+        # re-evaluate the intersection differentiably at the found triangle
+        # so gradients flow to vertices/transforms/ray params.
+        tmax_b = jnp.broadcast_to(best_t[None, :], (n_inst, r))
+        may_hit = _instance_box_mask(scene, noff, o_l, d_l, tmax_b)
+        tmax_i = jnp.where(may_hit, tmax_b, 0.0)
+        t_f, tri_f, *_ = intersect_mesh(
+            sg(scene.pool), noff, toff,
+            sg(o_l.reshape(n_inst * r, 3)), sg(d_l.reshape(n_inst * r, 3)),
+            sg(tmax_i.reshape(n_inst * r)), num_tris=h.num_tris,
+        )
+        # local t equals world t: the transform maps the ray's parameter
+        # linearly (uniform scale folded into |d_l|), so best_t is a valid
+        # truncation bound across primitives and instances.
+        t_i = t_f.reshape(n_inst, r)
+        tri_i = tri_f.reshape(n_inst, r)
+
+        t_min = t_i.min(axis=0)
+        hit = jnp.isfinite(t_min) & (t_min < best_t)
+        inst_ids = jnp.arange(n_inst, dtype=jnp.int32)[:, None]
+        inst = jnp.where(t_i == t_min[None, :], inst_ids, jnp.int32(n_inst))
+        inst = jnp.minimum(inst.min(axis=0), n_inst - 1)
+        onehot = (inst_ids == inst[None, :]).astype(jnp.float32)  # (I, R)
+        tri = jnp.where(onehot > 0, tri_i, jnp.int32(-1)).max(axis=0)
+
+        # winning instance's local ray + rotation (differentiable selects)
+        ow = (onehot[..., None] * o_l).sum(axis=0)
+        dw = (onehot[..., None] * d_l).sum(axis=0)
+        qw = (onehot[..., None] * jnp.stack([t_.q for t_ in trs])).sum(axis=0)
+
+        gt = toff + jnp.maximum(tri, 0)
+        v0, v1, v2 = scene.pool.gather_tri(gt)
+        _, t, u, v, w, n_geo = intersect_ray_tri(v0, v1, v2, ow, dw)
+        t = jnp.where(hit & (tri >= 0), t, INF)
+        n0, n1, n2 = scene.pool.gather_normals(gt)
+        ns = u[..., None] * n0 + v[..., None] * n1 + w[..., None] * n2
+        # keep the smooth normal on the geometric side
+        ns = ns * jnp.where(dot(ns, n_geo) < 0.0, -1.0, 1.0)[..., None]
+        n = safe_normalize(
+            quat_rotate(qw, ns), fallback=safe_normalize(quat_rotate(qw, n_geo))
+        )
+
+        prim_ids = jnp.asarray(_np.asarray(idxs, _np.int32))[inst]
+        closer = hit & (t > 0.0) & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_prim = jnp.where(closer, prim_ids, best_prim)
         best_n = jnp.where(closer[..., None], n, best_n)
 
     best_n = face_forward(best_n, -dirs)
@@ -127,25 +200,36 @@ def trace_any(scene: SceneFlat, origins, dirs, times, tmax) -> jax.Array:
     r = origins.shape[0]
     occ = jnp.zeros((r,), bool)
     tmax = jnp.asarray(tmax, jnp.float32)
+    sg = jax.lax.stop_gradient
 
-    for i, ps in enumerate(scene.prim_static):
+    groups, others = _mesh_groups(scene)
+
+    for i in others:
+        ps = scene.prim_static[i]
         tr = prim_transform(scene, i, times)
         if ps.type == SPHERE:
             hit, t, _ = intersect_ray_sphere(
                 tr.p, scene.prims.radius[i] * tr.s, origins, dirs
             )
-            occ = occ | (hit & (t > 0.0) & (t < tmax))
-        elif ps.type == PLANE:
+        else:  # PLANE
             hit, t, _ = intersect_ray_plane(scene.prims.plane[i], origins, dirs)
-            occ = occ | (hit & (t > 0.0) & (t < tmax))
-        else:  # MESH
-            h = ps.mesh
-            o_l = inverse_transform_point(tr, origins)
-            d_l = inverse_transform_vector(tr, dirs)
-            sg = jax.lax.stop_gradient
-            occ = occ | intersect_mesh_any(
-                sg(scene.pool), h.node_offset, h.tri_offset, sg(o_l),
-                sg(d_l), sg(jnp.where(occ, 0.0, tmax)),
-                num_tris=h.num_tris,
-            )
+        occ = occ | (hit & (t > 0.0) & (t < tmax))
+
+    for (noff, toff), idxs in groups.items():
+        h = scene.prim_static[idxs[0]].mesh
+        n_inst = len(idxs)
+        trs = [prim_transform(scene, i, times) for i in idxs]
+        o_l = jnp.stack([inverse_transform_point(t_, origins) for t_ in trs])
+        d_l = jnp.stack([inverse_transform_vector(t_, dirs) for t_ in trs])
+        # already-occluded rays get tmax 0 -> immediate exit in every frame
+        tmax_b = jnp.broadcast_to(
+            jnp.where(occ, 0.0, tmax)[None, :], (n_inst, r)
+        )
+        may_hit = _instance_box_mask(scene, noff, o_l, d_l, tmax_b)
+        tm = jnp.where(may_hit, tmax_b, 0.0).reshape(n_inst * r)
+        o = intersect_mesh_any(
+            sg(scene.pool), noff, toff, sg(o_l.reshape(n_inst * r, 3)),
+            sg(d_l.reshape(n_inst * r, 3)), sg(tm), num_tris=h.num_tris,
+        )
+        occ = occ | o.reshape(n_inst, r).any(axis=0)
     return occ
