@@ -7,12 +7,21 @@ renderers at equal spp, and reports region-level agreement — the
 "allclose at equal spp" tolerance-based parity target (SURVEY.md §4:
 the reference CPU renderer is the de-facto oracle).
 
-Measured 2026-08-16 (scenes/simple.tin, 512 spp, 128x64):
-  sky region   ref 1.0794  ours 1.0787   (-0.07%)
-  plane region ref 0.1184  ours 0.1170   (-1.2%)
-  global mean  ref 0.2680  ours 0.2759   (+2.9%, concentrated in the
-               emissive-sphere silhouette: 225 vs 233 edge pixels above
-               threshold — reconstruction-filter AA detail, not energy)
+Measured 2026-08-16:
+  simple.tin (512 spp, 128x64): sky -0.07%, plane -1.2%, global +2.9%
+      (concentrated in the emissive-sphere silhouette: 225 vs 233 edge
+      pixels above threshold — reconstruction-filter AA detail)
+  brain.obj scene (16 spp, 256x256): mean ratio 0.9961, per-ray hit t
+      agrees to ~1e-3 (fast-math)
+  cornell (16 spp, unscaled light): mean ratio 0.9944
+
+Known intentional deviation: the reference's area-light pdf uses
+world_area = local_area * s (intersection.h:848, and ignores scale for
+spheres entirely) while uniform local sampling maps with an s^2 area
+Jacobian — the reference therefore over-brightens scaled mesh lights by
+1/s (verified: 4.0x at scale 0.25). This framework uses the correct s^2
+(render/lights.py), so scenes with scaled emissive meshes intentionally
+differ; compare with pre-scaled light geometry.
 
 Usage: PYTHONPATH="/root/repo:$PYTHONPATH" python benchmarks/cross_validate.py
 """

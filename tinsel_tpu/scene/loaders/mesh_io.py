@@ -28,10 +28,18 @@ _CACHE_DIR = os.environ.get(
 )
 
 
+# bump when import semantics change (v2: unit-box normalization at import,
+# matching the reference's ImportMesh -> Normalize, mesh.cpp:105-132)
+_CACHE_VERSION = 2
+
+
 def _cache_path_for(path: str) -> str:
     """Cache file in the framework's own cache dir — never next to the asset
-    (asset trees may be read-only or not ours to write)."""
-    key = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
+    (asset trees may be read-only or not ours to write). The key includes a
+    version so importer semantic changes invalidate stale caches."""
+    key = hashlib.sha1(
+        f"{os.path.abspath(path)}|v{_CACHE_VERSION}".encode()
+    ).hexdigest()[:16]
     base = os.path.basename(path)
     return os.path.join(_CACHE_DIR, f"{base}.{key}.npz")
 
@@ -57,6 +65,10 @@ def import_mesh(path: str, cache: bool = True) -> Mesh:
         return load_mesh_cache(path)
     else:
         raise ValueError(f"unsupported mesh format: {path}")
+    # scene-file transforms assume unit meshes: imported OBJ/PLY are
+    # normalized to the unit box exactly like the reference
+    # (mesh.cpp:105-132 ImportMesh -> Normalize before BVH build)
+    mesh.normalize()
     mesh.build()
     dt = (time.perf_counter() - t0) * 1000.0
     print(f"Imported mesh {path} ({len(mesh.indices)} tris) in {dt:.1f}ms")
