@@ -211,6 +211,20 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
             None,
         )
 
+    # Rematerialized bounce: the forward saves ONLY the traversal results
+    # (tagged 'hit' in render/trace.py) plus the scan carry; the backward
+    # recomputes the elementwise shading instead of loading its residuals.
+    # Measured on TPU v5 (cornell 256^2 d4 material grads): the un-remat'd
+    # backward spills enough residual traffic to cost 4-6x the forward;
+    # remat with saved hits brings fwd+bwd to ~2.6x fwd. Forward-only
+    # callers are unaffected (remat changes nothing without a cotangent).
+    # The checkpoint must wrap the cond, not sit inside it (the branches
+    # would disagree on residual signatures).
+    bounce_or_skip = jax.checkpoint(
+        bounce_or_skip,
+        policy=jax.checkpoint_policies.save_only_these_names("hit"),
+    )
+
     state, _ = jax.lax.scan(bounce_or_skip, state, jnp.arange(max_depth))
     return state["rad"]
 

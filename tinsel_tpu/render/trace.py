@@ -21,6 +21,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..accel.traverse import intersect_mesh, intersect_mesh_any
 from ..core.math import (
@@ -188,7 +189,17 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
         best_n = jnp.where(closer[..., None], n, best_n)
 
     best_n = face_forward(best_n, -dirs)
-    return Hit(t=best_t, prim=best_prim, normal=best_n)
+    # Residual checkpoint boundary: traversal outputs are tagged so the
+    # integrator's remat policy (integrator.py path_trace) SAVES them in the
+    # forward pass while recomputing all cheap elementwise shading in the
+    # backward — re-running the BVH while_loops during the backward sweep
+    # would double the dominant cost of the whole gradient step.
+    name = checkpoint_name
+    return Hit(
+        t=name(best_t, "hit"),
+        prim=name(best_prim, "hit"),
+        normal=name(best_n, "hit"),
+    )
 
 
 def trace_any(scene: SceneFlat, origins, dirs, times, tmax) -> jax.Array:
@@ -232,4 +243,5 @@ def trace_any(scene: SceneFlat, origins, dirs, times, tmax) -> jax.Array:
             sg(d_l.reshape(n_inst * r, 3)), sg(tm), num_tris=h.num_tris,
         )
         occ = occ | o.reshape(n_inst, r).any(axis=0)
-    return occ
+    # saved under the integrator's remat policy (see trace_closest)
+    return checkpoint_name(occ, "hit")
