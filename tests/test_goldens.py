@@ -18,7 +18,10 @@ import pytest
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 SCENES_DIR = os.path.join(os.path.dirname(__file__), "..", "scenes")
-CASES = ["simple", "cornell", "gloss", "transmission"]
+CASES = [
+    "simple", "cornell", "gloss", "transmission",
+    "veach", "meshlight", "motionblur", "env",
+]
 
 
 def _render(name):
