@@ -8,13 +8,17 @@ a TPU slice. On real hardware, launch one process per host after
 `tinsel_tpu.parallel.sharding.init_distributed()` and the same code spans
 the slice (ICI within hosts, DCN across).
 
-Usage:  python examples/multichip_render.py [out.png]
+Usage:  python examples/multichip_render.py [out.png] [--virtual]
+
+Pass --virtual to force the 8-device virtual CPU mesh even when the
+environment pins a (single-chip) accelerator platform.
 """
 
 import os
 import sys
 
-if not os.environ.get("JAX_PLATFORMS") and not os.environ.get("_TINSEL_MC"):
+_want_virtual = "--virtual" in sys.argv or not os.environ.get("JAX_PLATFORMS")
+if _want_virtual and not os.environ.get("_TINSEL_MC"):
     # Force a virtual 8-device CPU mesh when run standalone. The platform
     # must be pinned before the interpreter imports jax (a sitecustomize
     # may already have registered an accelerator), so re-exec with the
@@ -46,7 +50,8 @@ from tinsel_tpu.io.png import write_png
 
 
 def main():
-    out = sys.argv[1] if len(sys.argv) > 1 else "multichip_cornell.png"
+    args = [a for a in sys.argv[1:] if a != "--virtual"]
+    out = args[0] if args else "multichip_cornell.png"
     n = len(jax.devices())
     spp_parallel = 2 if n % 2 == 0 else 1
     mesh = make_mesh(n, spp_parallel=spp_parallel)
