@@ -12,6 +12,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tinsel_tpu.scene.presets import cornell_scene
 from tinsel_tpu.render.camera import CameraParams
@@ -121,6 +122,7 @@ def test_camera_gradient_finite():
 def test_inverse_rendering_reduces_albedo_error():
     """The examples/inverse_rendering.py optimization must make real
     progress: mean visible-albedo error drops by >25% in a short run."""
+    pytest.importorskip("optax")  # examples extra, not a test dependency
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from examples.inverse_rendering import main as inv_main

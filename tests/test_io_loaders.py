@@ -110,10 +110,16 @@ def test_import_reference_obj():
 
 
 def test_mesh_cache_roundtrip(tmp_path):
+    """The round-1 cache bug dropped the ranged-leaf BVH's count/perm and
+    silently rebuilt a corrupt tree on load — so this test must prove the
+    *tree*, not just the vertex data, survives: structural validation plus
+    bit-equal traversal results through the reloaded BVH."""
+    import jax.numpy as jnp
+    from tinsel_tpu.accel.build import validate_bvh, triangle_bounds
     from tinsel_tpu.scene.loaders.mesh_io import save_mesh_cache, load_mesh_cache
     from tinsel_tpu.scene.presets import sphere_mesh
 
-    m = sphere_mesh(1.0, 8, 16)
+    m = sphere_mesh(1.0, 16, 32)  # 960 tris: several ranged leaves
     m.build()
     p = str(tmp_path / "m.npz")
     save_mesh_cache(p, m)
@@ -122,6 +128,85 @@ def test_mesh_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.indices, m.indices)
     assert back.bvh.num_nodes == m.bvh.num_nodes
     assert abs(back.area - m.area) < 1e-5
+
+    # full BVH equality + structural validity of the reloaded tree
+    np.testing.assert_array_equal(back.bvh.count, m.bvh.count)
+    np.testing.assert_array_equal(back.bvh.perm, m.bvh.perm)
+    np.testing.assert_array_equal(back.bvh.left, m.bvh.left)
+    lo, hi = triangle_bounds(back.positions, back.indices)
+    assert validate_bvh(back.bvh, lo, hi)
+
+    # traversal equality: identical hits through original and reloaded BVH
+    def closest_hits(mesh):
+        from tinsel_tpu.scene.model import Scene, Primitive, MESH
+        from tinsel_tpu.accel.traverse import intersect_mesh
+
+        scene = Scene()
+        scene.add_primitive(Primitive(type=MESH, mesh=mesh))
+        flat = scene.flatten()
+        handle = flat.prim_static[0].mesh
+        rng = np.random.default_rng(7)
+        o = (rng.random((256, 3)).astype(np.float32) * 4 - 2) * 2.0
+        d = rng.random((256, 3)).astype(np.float32) - 0.5
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        t, tri, *_ = intersect_mesh(
+            flat.pool, handle.node_offset, handle.tri_offset,
+            jnp.asarray(o), jnp.asarray(d), jnp.full((256,), np.inf, jnp.float32),
+        )
+        return np.asarray(t), np.asarray(tri)
+
+    t0, tri0 = closest_hits(m)
+    t1, tri1 = closest_hits(back)
+    np.testing.assert_array_equal(tri0, tri1)
+    np.testing.assert_array_equal(t0, t1)
+
+
+def test_mesh_cache_rejects_lossy_v2(tmp_path):
+    """A pre-v3 cache (missing count/perm) must fail loudly, not load a
+    silently corrupted tree (the round-1 live bug)."""
+    from tinsel_tpu.scene.loaders.mesh_io import save_mesh_cache, load_mesh_cache
+    from tinsel_tpu.scene.presets import sphere_mesh
+
+    m = sphere_mesh(1.0, 8, 16)
+    m.build()
+    p = str(tmp_path / "m.npz")
+    save_mesh_cache(p, m)
+    z = dict(np.load(p))
+    z.pop("bvh_count")
+    z.pop("bvh_perm")
+    np.savez_compressed(p, **z)
+    with pytest.raises(ValueError, match="ranged-leaf"):
+        load_mesh_cache(p)
+
+
+def test_import_mesh_warm_cache_identical(tmp_path, monkeypatch):
+    """import_mesh through a cold then warm cache yields identical BVHs —
+    the end-to-end path of the round-1 corruption (second-process reload
+    rendered garbage)."""
+    import tinsel_tpu.scene.loaders.mesh_io as mesh_io
+    from tinsel_tpu.accel.build import validate_bvh, triangle_bounds
+    from tinsel_tpu.scene.presets import sphere_mesh
+
+    src = sphere_mesh(1.0, 16, 32)
+    obj_path = str(tmp_path / "s.obj")
+    with open(obj_path, "w") as f:
+        for p in src.positions:
+            f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        for a, b, c in src.indices + 1:
+            f.write(f"f {a} {b} {c}\n")
+    monkeypatch.setattr(mesh_io, "_CACHE_DIR", str(tmp_path / "cache"))
+
+    cold = mesh_io.import_mesh(obj_path, cache=True)   # imports + saves
+    warm = mesh_io.import_mesh(obj_path, cache=True)   # loads the cache
+    np.testing.assert_array_equal(cold.positions, warm.positions)
+    np.testing.assert_array_equal(cold.indices, warm.indices)
+    for f in ("lower", "upper", "left", "right", "leaf", "count", "perm"):
+        np.testing.assert_array_equal(
+            getattr(cold.bvh, f), getattr(warm.bvh, f), err_msg=f
+        )
+    lo, hi = triangle_bounds(warm.positions, warm.indices)
+    assert validate_bvh(warm.bvh, lo, hi)
+    assert int(warm.bvh.count.max()) == int(cold.bvh.count.max())
 
 
 # ----------------------------------------------------------------- tin loader

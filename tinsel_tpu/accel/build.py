@@ -43,12 +43,25 @@ class BVH:
     perm: np.ndarray = None  # (n,) i32 — item order referenced by leaves
 
     def __post_init__(self):
-        if self.count is None:  # legacy single-item layout
+        if (self.count is None) != (self.perm is None):
+            raise ValueError(
+                "BVH: count and perm must be provided together "
+                "(a ranged-leaf tree is not reconstructible from one alone)"
+            )
+        if self.count is None:
+            # Legacy single-item layout: each leaf's `left` is the raw item
+            # index. Only valid if those indices form a permutation of
+            # 0..n_items-1 — a ranged tree that lost count/perm fails this
+            # loudly instead of silently rendering wrong geometry.
+            leaf_items = self.left[self.leaf.astype(bool)]
+            n_items = leaf_items.shape[0]
+            if not np.array_equal(np.sort(leaf_items), np.arange(n_items)):
+                raise ValueError(
+                    "BVH: leaf item indices are not a permutation — this is "
+                    "a ranged-leaf tree missing its count/perm fields"
+                )
             self.count = self.leaf.astype(np.int32)
-        if self.perm is None:
-            # identity consistent with single-item leaves that store the raw
-            # item index: rewrite leaf starts to positions in a perm array
-            n_items = int(self.leaf.sum())
+            # rewrite leaf starts to positions in a perm array
             self.perm = np.empty(n_items, np.int32)
             pos = 0
             for i in np.flatnonzero(self.leaf):

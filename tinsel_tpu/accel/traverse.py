@@ -119,6 +119,20 @@ def _split3(v):
     return v[..., 0], v[..., 1], v[..., 2]
 
 
+def _safe_rcp3(d):
+    """Reciprocal direction components with zero components nudged to +/-tiny,
+    so an axis-aligned ray whose origin sits exactly on a box bound computes
+    0 * huge = 0 instead of 0 * inf = NaN (which would propagate through the
+    slab min/max as a false miss). The nudge value is large enough that
+    1/eps overflows to inf only for |d| < 1e-30 — far below any normalized
+    direction component that matters."""
+    eps = 1e-30
+    return tuple(
+        1.0 / jnp.where(jnp.abs(c) < eps, jnp.where(c < 0, -eps, eps), c)
+        for c in d
+    )
+
+
 def _aabb_hit(lo, hi, o, rd):
     """Slab test, component-wise. lo/hi/o/rd: 3-tuples of (...,) arrays.
     Returns (hit, t_near). Mirrors intersection.h:373-397 with reciprocal
@@ -175,7 +189,7 @@ def _traverse_tile(pool: MeshPool, node_offset, tri_offset, o, d, tmax,
                    with_steps: bool = False):
     """Skip-link leaf-dwell DFS over one ray tile. o/d: component 3-tuples
     of (R,). Returns (best_t, best_tri[, steps])."""
-    rd = tuple(1.0 / c for c in d)
+    rd = _safe_rcp3(d)
     r = o[0].shape[0]
 
     state = (
@@ -316,7 +330,7 @@ def _traverse_tile_any(pool: MeshPool, node_offset, tri_offset, o, d, tmax):
     the moment any triangle hit with t < tmax is found. Shadow rays exit
     orders of magnitude earlier than closest-hit (render.cpp's shadow Trace
     has no such early-out; this is a TPU-side improvement)."""
-    rd = tuple(1.0 / c for c in d)
+    rd = _safe_rcp3(d)
     r = o[0].shape[0]
 
     state = (

@@ -88,7 +88,11 @@ def _instance_box_mask(scene: SceneFlat, noff, o_l, d_l, tmax_b):
     row = scene.pool.node_packed[noff]  # (8,) root row of the segment
     lo = row[0:3][None, None, :]
     hi = row[3:6][None, None, :]
-    rd = 1.0 / d_l
+    # zero direction components nudged to +/-tiny so an on-bound origin
+    # yields 0 * huge = 0, not 0 * inf = NaN (false cull); matches
+    # accel.traverse._safe_rcp3
+    eps = 1e-30
+    rd = 1.0 / jnp.where(jnp.abs(d_l) < eps, jnp.where(d_l < 0, -eps, eps), d_l)
     t0 = (lo - o_l) * rd
     t1 = (hi - o_l) * rd
     tn = jnp.minimum(t0, t1).max(axis=-1)

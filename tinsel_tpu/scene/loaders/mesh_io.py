@@ -29,8 +29,10 @@ _CACHE_DIR = os.environ.get(
 
 
 # bump when import semantics change (v2: unit-box normalization at import,
-# matching the reference's ImportMesh -> Normalize, mesh.cpp:105-132)
-_CACHE_VERSION = 2
+# matching the reference's ImportMesh -> Normalize, mesh.cpp:105-132;
+# v3: persist the ranged-leaf BVH's count/perm — v2 caches dropped them and
+# reloaded trees were silently corrupted by the legacy single-item path)
+_CACHE_VERSION = 3
 
 
 def _cache_path_for(path: str) -> str:
@@ -82,6 +84,10 @@ def import_mesh(path: str, cache: bool = True) -> Mesh:
 
 
 def save_mesh_cache(path: str, mesh: Mesh):
+    """Full BVH round-trip including the ranged-leaf fields — like the
+    reference's .bin dump, which also serializes its prebuilt BVH verbatim
+    (mesh.cpp:809-880). Dropping count/perm is NOT recoverable: leaf `left`
+    is a perm-range start, not an item index."""
     b = mesh.bvh
     np.savez_compressed(
         path,
@@ -95,11 +101,18 @@ def save_mesh_cache(path: str, mesh: Mesh):
         bvh_left=b.left,
         bvh_right=b.right,
         bvh_leaf=b.leaf,
+        bvh_count=b.count,
+        bvh_perm=b.perm,
     )
 
 
 def load_mesh_cache(path: str) -> Mesh:
     z = np.load(path)
+    if "bvh_count" not in z or "bvh_perm" not in z:
+        raise ValueError(
+            f"mesh cache {path} predates ranged-leaf serialization (v3); "
+            "refusing lossy reload — reimport the source mesh"
+        )
     mesh = Mesh(
         positions=z["positions"],
         indices=z["indices"],
@@ -113,6 +126,8 @@ def load_mesh_cache(path: str) -> Mesh:
         left=z["bvh_left"],
         right=z["bvh_right"],
         leaf=z["bvh_leaf"],
+        count=z["bvh_count"],
+        perm=z["bvh_perm"],
     )
     return mesh
 
