@@ -134,28 +134,30 @@ def test_bvh_native_matches_python_structurally():
 # ------------------------------------------------------------- traversal
 
 
-def _pool_from_mesh(positions, indices, leaf_size=8):
-    """Build a MeshPool the same way Scene.flatten does (permuted tris,
-    packed nodes). Returns (pool, perm)."""
-    from tinsel_tpu.accel.build import compute_skip_links, pack_nodes
+def _pool_from_mesh(positions, indices, leaf_size=16):
+    """Build a MeshPool the same way Scene.flatten does (4-ary wide layout,
+    block-padded tris). Returns (pool, perm_padded)."""
+    from tinsel_tpu.accel.build import BLOCK_SIZE, build_wide_bvh
 
     lo, hi = triangle_bounds(positions, indices)
     bvh = build_bvh(lo, hi, max_items_per_leaf=leaf_size, use_native=False)
-    packed = pack_nodes(bvh, compute_skip_links(bvh))
-    v = positions[indices[bvh.perm]]  # (T, 3, 3) BVH-permuted
+    wide = build_wide_bvh(bvh)
+    v = positions[indices[wide.perm_padded]]  # (Tp, 3, 3) block-padded
     # flat per-face normals, deindexed per-corner
     n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
     n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     areas = 0.5 * np.linalg.norm(
         np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1
     )
+    areas = np.where(wide.real_mask, areas, 0.0)
     cdf = np.cumsum(areas) / areas.sum()
-    def rows12(a, b, c):
+
+    def blocks192(a, b, c):
         out = np.zeros((a.shape[0], 12), np.float32)
         out[:, 0:3] = a
         out[:, 3:6] = b
         out[:, 6:9] = c
-        return jnp.asarray(out)
+        return jnp.asarray(out.reshape(-1, BLOCK_SIZE * 12))
 
     def planes9(a, b, c):
         cols = []
@@ -167,14 +169,13 @@ def _pool_from_mesh(positions, indices, leaf_size=8):
         return tuple(cols)
 
     pool = MeshPool(
-        node_packed=jnp.asarray(packed),
-        tri_rows=rows12(v[:, 0], v[:, 1], v[:, 2]),
-        nrm_rows=rows12(n, n, n),
+        node_rows=jnp.asarray(wide.node_rows),
+        block_rows=blocks192(v[:, 0], v[:, 1], v[:, 2]),
         tri_cdf=jnp.asarray(cdf, jnp.float32),
         tri_planes=planes9(v[:, 0], v[:, 1], v[:, 2]),
         nrm_planes=planes9(n, n, n),
     )
-    return pool, bvh.perm
+    return pool, wide.perm_padded
 
 
 def _brute_force_closest(positions, indices, o, d):
@@ -267,6 +268,23 @@ def test_brute_small_mesh_matches_traversal():
     t_b, tri_b, *_ = intersect_mesh(pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax)
     np.testing.assert_array_equal(np.asarray(tri_a), np.asarray(tri_b))
     np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), rtol=1e-5)
+
+
+def test_wide_bvh_structure():
+    """The 4-ary collapse must cover every triangle exactly once, terminate
+    under the all-hit walk, and keep child boxes containing their blocks —
+    at several sizes including single-leaf and barely-multi-leaf meshes."""
+    from tinsel_tpu.accel.build import build_wide_bvh, validate_wide_bvh
+
+    for n, seed in ((5, 0), (17, 1), (65, 2), (300, 3), (5000, 4)):
+        positions, indices = _random_tri_soup(n, seed=seed)
+        lo, hi = triangle_bounds(positions, indices)
+        bvh = build_bvh(lo, hi, use_native=False)
+        wide = build_wide_bvh(bvh)
+        assert validate_wide_bvh(wide, lo, hi, n), f"n={n}"
+        # root bounds match the binary root
+        np.testing.assert_allclose(wide.root_lower, bvh.lower[0], atol=1e-6)
+        np.testing.assert_allclose(wide.root_upper, bvh.upper[0], atol=1e-6)
 
 
 def test_skip_links_cover_tree():

@@ -244,6 +244,264 @@ def pack_nodes(bvh: BVH, skip: np.ndarray) -> np.ndarray:
     return packed
 
 
+# ------------------------------------------------------------- wide (4-ary)
+#
+# Traversal-facing layout measured for this TPU runtime (see
+# accel/traverse.py): per-step cost is dominated by the latency of ONE
+# dependent row gather and is flat in row width far beyond 32 floats, so a
+# step should consume as much tree as possible. A 4-ary node row carries all
+# four child AABBs + child words + skip in one 32-float row (one gather
+# tests four children), and leaves are padded 16-triangle blocks tested in
+# one step. Simulated on the 524k-tri benchmark mesh, this cuts the
+# worst-ray step count per tile from 367 to ~101 vs the round-1 binary
+# dwell walk.
+
+WIDE_K = 4
+NODE_ROW_WIDTH = 32  # 4*6 child bounds + 4 words + skip + 3 pad
+
+
+@dataclasses.dataclass(frozen=True)
+class WideBVH:
+    """4-ary collapsed tree in traversal row layout (all ids mesh-local).
+
+    node_rows: (Ni, 32) f32 —
+        cols [6c, 6c+6): child c lower.xyz upper.xyz   (c = 0..3)
+        cols 24..27:     bitcast i32 word per child:
+                           >= 0  -> internal child, id = word
+                           <  0  -> leaf child, block id = ~word
+                           empty slots: word 0 with an inverted (+inf/-inf)
+                           box that can never hit
+        col 28:          bitcast i32 skip: next internal node after this
+                         node's subtree (-1 terminates)
+    perm_padded: (16 * n_blocks,) int64 indices into the mesh's original
+        triangle array; block b owns rows [16b, 16b+16). Padding slots
+        repeat the leaf's last real triangle (harmless duplicates for
+        intersection; excluded from area CDFs via real_mask).
+    real_mask: (16 * n_blocks,) bool — False on padding slots.
+    root_lower/root_upper: (3,) f32 — mesh root AABB (for instance culls).
+    """
+
+    node_rows: np.ndarray
+    perm_padded: np.ndarray
+    real_mask: np.ndarray
+    root_lower: np.ndarray
+    root_upper: np.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.node_rows.shape[0])
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.perm_padded) // BLOCK_SIZE
+
+
+BLOCK_SIZE = 16  # triangles per leaf block (== DEFAULT_LEAF_SIZE)
+
+
+def build_wide_bvh(bvh: BVH, k: int = WIDE_K) -> WideBVH:
+    """Collapse a binary ranged-leaf BVH into the 4-ary traversal layout.
+
+    Each internal node adopts the frontier obtained by expanding its
+    binary descendants (largest-volume internal child first) until k
+    entries. Leaves become padded 16-triangle blocks owned by their parent
+    row; they have no rows of their own — the traversal kernel processes
+    hit leaf children while dwelling at the parent, so leaf "skip" state
+    never needs to be stored (accel/traverse.py)."""
+    count = bvh.count
+    left = bvh.left
+    right = bvh.right
+    lower = bvh.lower
+    upper = bvh.upper
+
+    # children frontier per retained internal node (binary ids)
+    def expand(i):
+        front = [int(left[i]), int(right[i])]
+        while len(front) < k:
+            pick, best = None, -1.0
+            for j, c in enumerate(front):
+                if count[c] == 0:
+                    span = float(np.prod(np.maximum(upper[c] - lower[c], 0)))
+                    if span > best:
+                        best, pick = span, j
+            if pick is None:
+                break
+            c = front.pop(pick)
+            front[pick:pick] = [int(left[c]), int(right[c])]
+        return front
+
+    # synthetic root wrapper when the whole mesh is one leaf
+    if count[0] > 0:
+        n_real = int(count[0])
+        pad = BLOCK_SIZE - n_real
+        perm_padded = np.concatenate(
+            [bvh.perm[:n_real], np.repeat(bvh.perm[n_real - 1], pad)]
+        ).astype(np.int64)
+        real_mask = np.zeros(BLOCK_SIZE, bool)
+        real_mask[:n_real] = True
+        row = np.zeros((1, NODE_ROW_WIDTH), np.float32)
+        row[0, 0:3] = lower[0]
+        row[0, 3:6] = upper[0]
+        for c in range(1, k):
+            # empty slot: NaN box — the slab test's min/max would turn any
+            # real "inverted" bounds back into a valid box, but NaN
+            # comparisons are false, making the slot an unconditional miss
+            row[0, 6 * c : 6 * c + 6] = np.nan
+        words = np.zeros(k, np.int32)
+        words[0] = ~np.int32(0)  # leaf block 0
+        row[0, 24 : 24 + k] = words.view(np.float32)
+        row[0, 28] = np.int32(-1).view(np.float32)
+        return WideBVH(
+            node_rows=row,
+            perm_padded=perm_padded,
+            real_mask=real_mask,
+            root_lower=lower[0].copy(),
+            root_upper=upper[0].copy(),
+        )
+
+    # pass 1: DFS assigning internal ids (preorder) and leaf block ids in
+    # order of first appearance — block order defines the padded tri layout
+    children: dict[int, list[int]] = {}
+    internal_id: dict[int, int] = {}
+    block_id: dict[int, int] = {}
+    order: list[int] = []
+    stack = [0]
+    while stack:
+        b = stack.pop()
+        internal_id[b] = len(internal_id)
+        order.append(b)
+        ch = expand(b)
+        children[b] = ch
+        for c in reversed(ch):
+            if count[c] == 0:
+                stack.append(c)
+    # leaf block ids in forward DFS child order
+    def walk_blocks(b):
+        for c in children[b]:
+            if count[c] > 0:
+                block_id[c] = len(block_id)
+            else:
+                walk_blocks(c)
+    import sys
+    old_lim = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_lim, 4 * bvh.num_nodes + 1000))
+    try:
+        walk_blocks(0)
+    finally:
+        sys.setrecursionlimit(old_lim)
+
+    # pass 2: skip links over internal nodes only (leaf children are
+    # processed at the parent, so the skip chain threads internal siblings)
+    skip = {0: -1}
+    stack = [0]
+    while stack:
+        b = stack.pop()
+        esc = skip[b]
+        internal_children = [c for c in children[b] if count[c] == 0]
+        for j, c in enumerate(internal_children):
+            skip[c] = (
+                internal_children[j + 1] if j + 1 < len(internal_children) else esc
+            )
+        stack.extend(internal_children)
+
+    # pass 3: emit rows + padded permutation
+    n_int = len(internal_id)
+    rows = np.zeros((n_int, NODE_ROW_WIDTH), np.float32)
+    n_blocks = len(block_id)
+    perm_padded = np.zeros(BLOCK_SIZE * n_blocks, np.int64)
+    real_mask = np.zeros(BLOCK_SIZE * n_blocks, bool)
+    for b, nid in internal_id.items():
+        ch = children[b]
+        words = np.zeros(k, np.int32)
+        for c_idx in range(k):
+            o = 6 * c_idx
+            if c_idx < len(ch):
+                c = ch[c_idx]
+                rows[nid, o : o + 3] = lower[c]
+                rows[nid, o + 3 : o + 6] = upper[c]
+                if count[c] > 0:
+                    blk = block_id[c]
+                    words[c_idx] = ~np.int32(blk)
+                    start = BLOCK_SIZE * blk
+                    n_real = int(count[c])
+                    src = bvh.perm[left[c] : left[c] + n_real]
+                    perm_padded[start : start + n_real] = src
+                    perm_padded[start + n_real : start + BLOCK_SIZE] = src[-1]
+                    real_mask[start : start + n_real] = True
+                else:
+                    words[c_idx] = np.int32(internal_id[c])
+            else:
+                # empty slot: NaN box (see synthetic-root case above)
+                rows[nid, o : o + 6] = np.nan
+        rows[nid, 24 : 24 + k] = words.view(np.float32)
+        esc = skip[b]
+        esc_id = -1 if esc == -1 else internal_id[esc]
+        rows[nid, 28] = np.int32(esc_id).view(np.float32)
+
+    return WideBVH(
+        node_rows=rows,
+        perm_padded=perm_padded,
+        real_mask=real_mask,
+        root_lower=lower[0].copy(),
+        root_upper=upper[0].copy(),
+    )
+
+
+def validate_wide_bvh(wide: WideBVH, lowers: np.ndarray, uppers: np.ndarray,
+                      n_items: int) -> bool:
+    """Structural sanity of the 4-ary traversal layout: the all-hit walk
+    (descend first internal child, dwell every leaf child, escape along
+    skips) terminates, reaches every leaf block exactly once, every real
+    item appears exactly once across blocks, child boxes contain their
+    items, and an acyclicity bound holds. Used by tests."""
+    rows = wide.node_rows
+    words = rows[:, 24 : 24 + WIDE_K].view(np.int32)
+    skips = rows[:, 28:29].view(np.int32)[:, 0]
+    n_int = wide.num_nodes
+    n_blocks = wide.num_blocks
+    eps = 1e-5
+
+    seen_blocks = np.zeros(n_blocks, np.int64)
+    cur, lc, steps = 0, 0, 0
+    limit = 10 * (n_int + n_blocks) + 100
+    while cur >= 0:
+        steps += 1
+        assert steps < limit, "walk did not terminate (cycle?)"
+        assert 0 <= cur < n_int
+        s = None
+        for c in range(WIDE_K):
+            if words[cur, c] < 0 and c >= lc and not np.isnan(rows[cur, 6 * c]):
+                s = c
+                break
+        if s is not None:
+            blk = ~words[cur, s]
+            assert 0 <= blk < n_blocks
+            seen_blocks[blk] += 1
+            # child box contains its block's real items
+            lo_c = rows[cur, 6 * s : 6 * s + 3]
+            hi_c = rows[cur, 6 * s + 3 : 6 * s + 6]
+            for p in range(BLOCK_SIZE * blk, BLOCK_SIZE * (blk + 1)):
+                if wide.real_mask[p]:
+                    item = wide.perm_padded[p]
+                    assert np.all(lo_c <= lowers[item] + eps)
+                    assert np.all(hi_c >= uppers[item] - eps)
+            lc = s + 1
+            continue
+        nxt = skips[cur]
+        for c in range(WIDE_K - 1, -1, -1):
+            if words[cur, c] >= 0 and not np.isnan(rows[cur, 6 * c]):
+                nxt = words[cur, c]
+        cur, lc = nxt, 0
+
+    if not np.all(seen_blocks == 1):
+        return False
+    real_items = wide.perm_padded[wide.real_mask]
+    return bool(
+        len(real_items) == n_items
+        and np.array_equal(np.sort(real_items), np.arange(n_items))
+    )
+
+
 def validate_bvh(bvh: BVH, lowers: np.ndarray, uppers: np.ndarray) -> bool:
     """Structural sanity: every item appears in exactly one leaf range, and
     every node's bounds contain its children/items. Used by tests."""

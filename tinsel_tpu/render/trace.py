@@ -78,16 +78,18 @@ def _mesh_groups(scene: SceneFlat):
     return groups, others
 
 
-def _instance_box_mask(scene: SceneFlat, noff, o_l, d_l, tmax_b):
+def _instance_box_mask(h, o_l, d_l, tmax_b):
     """Top-level cull: per-instance local-space root-AABB slab test.
-    o_l/d_l: (I, R, 3) instance-local rays. Returns (I, R) bool 'may hit'.
-    Rays failing it get tmax 0 in that instance's traversal copy — a
-    one-step exit, so camera-coherent tiles skip whole instances. This is
-    the TPU form of the reference's top-level scene BVH over primitives
-    (intersection.h:751-799) for the instanced case."""
-    row = scene.pool.node_packed[noff]  # (8,) root row of the segment
-    lo = row[0:3][None, None, :]
-    hi = row[3:6][None, None, :]
+    h: MeshHandle (static root bounds); o_l/d_l: (I, R, 3) instance-local
+    rays. Returns (I, R) bool 'may hit'. Rays failing it get tmax 0 in that
+    instance's traversal copy — a one-step exit, so camera-coherent tiles
+    skip whole instances. This is the TPU form of the reference's top-level
+    scene BVH over primitives (intersection.h:751-799) for the instanced
+    case."""
+    import numpy as _np
+
+    lo = jnp.asarray(_np.asarray(h.root_lower, _np.float32))[None, None, :]
+    hi = jnp.asarray(_np.asarray(h.root_upper, _np.float32))[None, None, :]
     # zero direction components nudged to +/-tiny so an on-bound origin
     # yields 0 * huge = 0, not 0 * inf = NaN (false cull); matches
     # accel.traverse._safe_rcp3
@@ -148,7 +150,7 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
         # re-evaluate the intersection differentiably at the found triangle
         # so gradients flow to vertices/transforms/ray params.
         tmax_b = jnp.broadcast_to(best_t[None, :], (n_inst, r))
-        may_hit = _instance_box_mask(scene, noff, o_l, d_l, tmax_b)
+        may_hit = _instance_box_mask(h, o_l, d_l, tmax_b)
         tmax_i = jnp.where(may_hit, tmax_b, 0.0)
         t_f, tri_f, *_ = intersect_mesh(
             sg(scene.pool), noff, toff,
@@ -240,7 +242,7 @@ def trace_any(scene: SceneFlat, origins, dirs, times, tmax) -> jax.Array:
         tmax_b = jnp.broadcast_to(
             jnp.where(occ, 0.0, tmax)[None, :], (n_inst, r)
         )
-        may_hit = _instance_box_mask(scene, noff, o_l, d_l, tmax_b)
+        may_hit = _instance_box_mask(h, o_l, d_l, tmax_b)
         tm = jnp.where(may_hit, tmax_b, 0.0).reshape(n_inst * r)
         o = intersect_mesh_any(
             sg(scene.pool), noff, toff, sg(o_l.reshape(n_inst * r, 3)),

@@ -29,10 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.build import (
+    BLOCK_SIZE,
     BVH,
+    NODE_ROW_WIDTH,
     build_bvh,
-    compute_skip_links,
-    pack_nodes,
+    build_wide_bvh,
     triangle_bounds,
 )
 from ..accel.traverse import MeshHandle, MeshPool
@@ -378,19 +379,21 @@ class Scene:
                     mesh_list.append(prim.mesh)
 
         handles: List[MeshHandle] = []
-        node_packed_list = []
+        node_rows_list = []
         tri_arrays = {k: [] for k in ("v0", "v1", "v2", "n0", "n1", "n2", "cdf")}
         node_off = 0
         tri_off = 0
         for m in mesh_list:
             if m.bvh is None or m.cdf is None or m.normals is None:
                 m.build()
-            b = m.bvh
-            node_packed_list.append(pack_nodes(b, compute_skip_links(b)))
-            # deindex triangles in BVH-permuted order so ranged leaves are
-            # contiguous row blocks (one block gather per leaf test)
-            tri_idx = m.indices[b.perm]  # (T, 3) vertex ids, permuted
-            v = m.positions[tri_idx]  # (T, 3, 3)
+            # collapse the binary ranged-leaf tree into the 4-ary traversal
+            # layout with padded 16-tri leaf blocks (accel/build.py)
+            wide = build_wide_bvh(m.bvh)
+            node_rows_list.append(wide.node_rows)
+            # deindex triangles in block-padded order so a leaf is one
+            # contiguous 192-float block row (one gather per leaf test)
+            tri_idx = m.indices[wide.perm_padded]  # (Tp, 3) vertex ids
+            v = m.positions[tri_idx]  # (Tp, 3, 3)
             n = m.normals[tri_idx]
             tri_arrays["v0"].append(v[:, 0])
             tri_arrays["v1"].append(v[:, 1])
@@ -398,26 +401,31 @@ class Scene:
             tri_arrays["n0"].append(n[:, 0])
             tri_arrays["n1"].append(n[:, 1])
             tri_arrays["n2"].append(n[:, 2])
-            # area CDF over the permuted order (any order is a valid CDF)
+            # area CDF over the padded order (padding slots contribute zero
+            # mass, so lower_bound's first-index semantics never picks them)
             areas = 0.5 * np.linalg.norm(
                 np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1
             )
+            areas = np.where(wide.real_mask, areas, 0.0)
             tri_arrays["cdf"].append(
                 (np.cumsum(areas) / max(float(areas.sum()), 1e-30)).astype(
                     np.float32
                 )
             )
+            n_padded = len(wide.perm_padded)
             handles.append(
                 MeshHandle(
                     node_offset=node_off,
-                    num_nodes=b.num_nodes,
+                    num_nodes=wide.num_nodes,
                     tri_offset=tri_off,
-                    num_tris=len(m.indices),
+                    num_tris=n_padded,
                     area=float(m.area),
+                    root_lower=tuple(float(x) for x in wide.root_lower),
+                    root_upper=tuple(float(x) for x in wide.root_upper),
                 )
             )
-            node_off += b.num_nodes
-            tri_off += len(m.indices)
+            node_off += wide.num_nodes
+            tri_off += n_padded
 
         def cat(xs, dtype, width=None):
             if not xs:
@@ -426,26 +434,30 @@ class Scene:
             out = np.concatenate([np.asarray(x) for x in xs], axis=0)
             return jnp.asarray(out, dtype)
 
-        if node_packed_list:
-            packed = np.concatenate(node_packed_list, axis=0)
+        if node_rows_list:
+            node_rows = np.concatenate(node_rows_list, axis=0)
         else:
-            # empty pool: one terminal row (count=0, skip=-1)
-            packed = np.zeros((1, 8), np.float32)
-            packed[0, 7] = np.int32(-1).view(np.float32)
+            # empty pool: one terminal row (NaN child boxes never hit)
+            node_rows = np.full((1, NODE_ROW_WIDTH), np.nan, np.float32)
+            node_rows[0, 24:] = 0.0
+            node_rows[0, 28] = np.int32(-1).view(np.float32)
 
-        # (T, 12) row tables: one row gather per triangle test (row-gather
-        # cost is flat in width <= 16 floats on TPU; 12 pads for alignment)
-        def rows12(k0, k1, k2):
-            if not tri_arrays[k0]:
-                return jnp.zeros((1, 12), jnp.float32)
-            a = np.concatenate([np.asarray(x) for x in tri_arrays[k0]])
-            b = np.concatenate([np.asarray(x) for x in tri_arrays[k1]])
-            c = np.concatenate([np.asarray(x) for x in tri_arrays[k2]])
+        # (B, 192) leaf-block rows: 16 padded triangles of 12 floats each —
+        # one row gather tests a whole leaf (gather cost is flat in row
+        # width on this runtime; see accel/traverse.py)
+        def blocks192():
+            if not tri_arrays["v0"]:
+                return jnp.zeros((1, BLOCK_SIZE * 12), jnp.float32)
+            a = np.concatenate([np.asarray(x) for x in tri_arrays["v0"]])
+            b = np.concatenate([np.asarray(x) for x in tri_arrays["v1"]])
+            c = np.concatenate([np.asarray(x) for x in tri_arrays["v2"]])
             out = np.zeros((a.shape[0], 12), np.float32)
             out[:, 0:3] = a
             out[:, 3:6] = b
             out[:, 6:9] = c
-            return jnp.asarray(out)
+            return jnp.asarray(
+                out.reshape(a.shape[0] // BLOCK_SIZE, BLOCK_SIZE * 12)
+            )
 
         def planes9(k0, k1, k2):
             cols = []
@@ -462,9 +474,8 @@ class Scene:
             return tuple(cols)
 
         pool = MeshPool(
-            node_packed=jnp.asarray(packed),
-            tri_rows=rows12("v0", "v1", "v2"),
-            nrm_rows=rows12("n0", "n1", "n2"),
+            node_rows=jnp.asarray(node_rows),
+            block_rows=blocks192(),
             tri_cdf=cat(tri_arrays["cdf"], jnp.float32),
             tri_planes=planes9("v0", "v1", "v2"),
             nrm_planes=planes9("n0", "n1", "n2"),
