@@ -120,7 +120,7 @@ def _bigmesh_metric():
 
     run = jax.jit(
         lambda pool, o, d, t: intersect_mesh(
-            pool, h.node_offset, h.tri_offset, o, d, t, tile=4096
+            pool, h.node_offset, h.tri_offset, o, d, t
         )
     )
     np.asarray(run(flat.pool, origins, dirs, tmax)[0])

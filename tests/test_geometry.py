@@ -153,11 +153,15 @@ def _pool_from_mesh(positions, indices, leaf_size=16):
     cdf = np.cumsum(areas) / areas.sum()
 
     def blocks192(a, b, c):
-        out = np.zeros((a.shape[0], 12), np.float32)
-        out[:, 0:3] = a
-        out[:, 3:6] = b
-        out[:, 6:9] = c
-        return jnp.asarray(out.reshape(-1, BLOCK_SIZE * 12))
+        # component-major rows: 16x v0x | 16x v0y | ... | 16x v2z | pad
+        comps = [arr[:, i] for arr in (a, b, c) for i in range(3)]
+        n_blocks = a.shape[0] // BLOCK_SIZE
+        out = np.zeros((n_blocks, BLOCK_SIZE * 12), np.float32)
+        for g, comp in enumerate(comps):
+            out[:, BLOCK_SIZE * g : BLOCK_SIZE * (g + 1)] = comp.reshape(
+                n_blocks, BLOCK_SIZE
+            )
+        return jnp.asarray(out)
 
     def planes9(a, b, c):
         cols = []

@@ -257,21 +257,57 @@ def pack_nodes(bvh: BVH, skip: np.ndarray) -> np.ndarray:
 # dwell walk.
 
 WIDE_K = 4
-NODE_ROW_WIDTH = 32  # 4*6 child bounds + 4 words + skip + 3 pad
+NODE_ROW_WIDTH = 24  # 12 packed-box cols + 4 words + skip, padded to 24
+NODE_WORD_COL = 12
+NODE_SKIP_COL = 16
+_NAN_PACKED = np.uint32(0x7FC07FC0)  # bf16 quiet-NaN in both halves
+
+
+def _bf16_pack_bounds(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Pack (lo, hi) f32 pairs into one u32 each: bf16(hi) in the high
+    half rounded UP, bf16(lo) in the low half rounded DOWN — conservative
+    bounds so the quantized box always contains the true box. In-loop
+    gather cost on this runtime scales with CONSUMED row columns, so
+    halving the box columns (12 -> 6... here 24 -> 12 per node) directly
+    cuts the traversal step cost."""
+    lo = np.asarray(lo, np.float32).ravel()
+    hi = np.asarray(hi, np.float32).ravel()
+    lob = lo.view(np.uint32).copy()
+    hib = hi.view(np.uint32).copy()
+    lot = lob & np.uint32(0xFFFF0000)
+    hit = hib & np.uint32(0xFFFF0000)
+    # truncation rounds toward zero: fix lo for negatives (round away),
+    # hi for positives (round away) by stepping one bf16 ulp outward
+    lo_need = lot.view(np.float32) > lo  # only possible when lo < 0
+    hi_need = hit.view(np.float32) < hi  # only possible when hi > 0
+    lot[lo_need] += np.uint32(0x10000)
+    hit[hi_need] += np.uint32(0x10000)
+    return hit | (lot >> np.uint32(16))
+
+
+def _bf16_unpack_bounds(packed: np.ndarray):
+    """Host-side decode of _bf16_pack_bounds (tests/validation)."""
+    packed = np.asarray(packed, np.uint32)
+    hi = (packed & np.uint32(0xFFFF0000)).view(np.float32)
+    lo = (packed << np.uint32(16)).view(np.float32)
+    return lo, hi
 
 
 @dataclasses.dataclass(frozen=True)
 class WideBVH:
     """4-ary collapsed tree in traversal row layout (all ids mesh-local).
 
-    node_rows: (Ni, 32) f32 —
-        cols [6c, 6c+6): child c lower.xyz upper.xyz   (c = 0..3)
-        cols 24..27:     bitcast i32 word per child:
+    node_rows: (Ni, 24) f32 —
+        cols [3c, 3c+3): child c box, one packed u32 per axis (bitcast):
+                         high half bf16(upper) rounded up, low half
+                         bf16(lower) rounded down (see _bf16_pack_bounds);
+                         empty slots hold bf16 NaNs (an unconditional miss
+                         — inverted bounds would be re-validated by the
+                         slab test's min/max)
+        cols 12..15:     bitcast i32 word per child:
                            >= 0  -> internal child, id = word
                            <  0  -> leaf child, block id = ~word
-                           empty slots: word 0 with an inverted (+inf/-inf)
-                           box that can never hit
-        col 28:          bitcast i32 skip: next internal node after this
+        col 16:          bitcast i32 skip: next internal node after this
                          node's subtree (-1 terminates)
     perm_padded: (16 * n_blocks,) int64 indices into the mesh's original
         triangle array; block b owns rows [16b, 16b+16). Padding slots
@@ -340,17 +376,15 @@ def build_wide_bvh(bvh: BVH, k: int = WIDE_K) -> WideBVH:
         real_mask = np.zeros(BLOCK_SIZE, bool)
         real_mask[:n_real] = True
         row = np.zeros((1, NODE_ROW_WIDTH), np.float32)
-        row[0, 0:3] = lower[0]
-        row[0, 3:6] = upper[0]
+        row[0, 0:3] = _bf16_pack_bounds(lower[0], upper[0]).view(np.float32)
         for c in range(1, k):
-            # empty slot: NaN box — the slab test's min/max would turn any
-            # real "inverted" bounds back into a valid box, but NaN
-            # comparisons are false, making the slot an unconditional miss
-            row[0, 6 * c : 6 * c + 6] = np.nan
+            row[0, 3 * c : 3 * c + 3] = np.full(
+                3, _NAN_PACKED, np.uint32
+            ).view(np.float32)
         words = np.zeros(k, np.int32)
         words[0] = ~np.int32(0)  # leaf block 0
-        row[0, 24 : 24 + k] = words.view(np.float32)
-        row[0, 28] = np.int32(-1).view(np.float32)
+        row[0, NODE_WORD_COL : NODE_WORD_COL + k] = words.view(np.float32)
+        row[0, NODE_SKIP_COL] = np.int32(-1).view(np.float32)
         return WideBVH(
             node_rows=row,
             perm_padded=perm_padded,
@@ -414,11 +448,12 @@ def build_wide_bvh(bvh: BVH, k: int = WIDE_K) -> WideBVH:
         ch = children[b]
         words = np.zeros(k, np.int32)
         for c_idx in range(k):
-            o = 6 * c_idx
+            o = 3 * c_idx
             if c_idx < len(ch):
                 c = ch[c_idx]
-                rows[nid, o : o + 3] = lower[c]
-                rows[nid, o + 3 : o + 6] = upper[c]
+                rows[nid, o : o + 3] = _bf16_pack_bounds(
+                    lower[c], upper[c]
+                ).view(np.float32)
                 if count[c] > 0:
                     blk = block_id[c]
                     words[c_idx] = ~np.int32(blk)
@@ -431,12 +466,14 @@ def build_wide_bvh(bvh: BVH, k: int = WIDE_K) -> WideBVH:
                 else:
                     words[c_idx] = np.int32(internal_id[c])
             else:
-                # empty slot: NaN box (see synthetic-root case above)
-                rows[nid, o : o + 6] = np.nan
-        rows[nid, 24 : 24 + k] = words.view(np.float32)
+                # empty slot: bf16 NaN box (unconditional miss)
+                rows[nid, o : o + 3] = np.full(
+                    3, _NAN_PACKED, np.uint32
+                ).view(np.float32)
+        rows[nid, NODE_WORD_COL : NODE_WORD_COL + k] = words.view(np.float32)
         esc = skip[b]
         esc_id = -1 if esc == -1 else internal_id[esc]
-        rows[nid, 28] = np.int32(esc_id).view(np.float32)
+        rows[nid, NODE_SKIP_COL] = np.int32(esc_id).view(np.float32)
 
     return WideBVH(
         node_rows=rows,
@@ -455,11 +492,20 @@ def validate_wide_bvh(wide: WideBVH, lowers: np.ndarray, uppers: np.ndarray,
     item appears exactly once across blocks, child boxes contain their
     items, and an acyclicity bound holds. Used by tests."""
     rows = wide.node_rows
-    words = rows[:, 24 : 24 + WIDE_K].view(np.int32)
-    skips = rows[:, 28:29].view(np.int32)[:, 0]
+    words = rows[:, NODE_WORD_COL : NODE_WORD_COL + WIDE_K].view(np.int32)
+    skips = rows[:, NODE_SKIP_COL : NODE_SKIP_COL + 1].view(np.int32)[:, 0]
+    packed = rows[:, : 3 * WIDE_K].view(np.uint32)
     n_int = wide.num_nodes
     n_blocks = wide.num_blocks
     eps = 1e-5
+
+    def child_box(i, c):
+        lo, hi = _bf16_unpack_bounds(packed[i, 3 * c : 3 * c + 3])
+        return lo, hi
+
+    def child_empty(i, c):
+        lo, _ = child_box(i, c)
+        return bool(np.isnan(lo).any())
 
     seen_blocks = np.zeros(n_blocks, np.int64)
     cur, lc, steps = 0, 0, 0
@@ -470,16 +516,16 @@ def validate_wide_bvh(wide: WideBVH, lowers: np.ndarray, uppers: np.ndarray,
         assert 0 <= cur < n_int
         s = None
         for c in range(WIDE_K):
-            if words[cur, c] < 0 and c >= lc and not np.isnan(rows[cur, 6 * c]):
+            if words[cur, c] < 0 and c >= lc and not child_empty(cur, c):
                 s = c
                 break
         if s is not None:
             blk = ~words[cur, s]
             assert 0 <= blk < n_blocks
             seen_blocks[blk] += 1
-            # child box contains its block's real items
-            lo_c = rows[cur, 6 * s : 6 * s + 3]
-            hi_c = rows[cur, 6 * s + 3 : 6 * s + 6]
+            # child box contains its block's real items (bf16 bounds are
+            # rounded outward, so containment must still hold)
+            lo_c, hi_c = child_box(cur, s)
             for p in range(BLOCK_SIZE * blk, BLOCK_SIZE * (blk + 1)):
                 if wide.real_mask[p]:
                     item = wide.perm_padded[p]
@@ -489,7 +535,7 @@ def validate_wide_bvh(wide: WideBVH, lowers: np.ndarray, uppers: np.ndarray,
             continue
         nxt = skips[cur]
         for c in range(WIDE_K - 1, -1, -1):
-            if words[cur, c] >= 0 and not np.isnan(rows[cur, 6 * c]):
+            if words[cur, c] >= 0 and not child_empty(cur, c):
                 nxt = words[cur, c]
         cur, lc = nxt, 0
 

@@ -3,16 +3,16 @@
 TPU-first re-expression of the reference's per-thread stack traversal
 (intersection.h:678-749 IntersectRayMesh, intersection.h:751-799 QueryBVH).
 The design is driven by an empirically measured cost model of this runtime
-(benchmarks/microbench_r2*.py):
+(benchmarks/microbench_r2*.py, round 2):
 
-  * the whole cost of a traversal step is the LATENCY of one dependent row
-    gather (~25-45 us per while-loop iteration at 4-16k rays); elementwise
-    VPU math in the body is literally free by comparison;
-  * gather cost is FLAT in row width to >=48 floats and still cheap at
-    192 floats -> a step should consume as much tree as one row can carry;
-  * unrolling the body does NOT amortize the cost (it is a serial
-    dependency chain, not loop overhead), but bigger ray tiles do
-    (per-ray marginal cost falls ~3x from R=4k to R=16k);
+  * inside a while loop, a dependent row gather costs a ~30-40 us floor
+    per iteration PLUS ~0.3-0.7 ns per (lane x CONSUMED column) — the cost
+    follows the columns the body actually reads, not the stored row width
+    (round 1's "flat in width" held only because few columns were read);
+  * elementwise VPU math in the body is free by comparison; unrolling does
+    NOT amortize the cost (it is a serial dependency chain);
+  * ONE-SHOT (non-loop) row gathers instead cost ~24 ns per row nearly
+    independent of width; 1-D gathers are ~12 ns/lane — avoid for bulk;
   * in lockstep, a tile runs until its WORST ray finishes — on the 524k-tri
     benchmark the max is ~10x the mean, so the tail, not the mean, sets
     throughput.
@@ -20,12 +20,13 @@ The design is driven by an empirically measured cost model of this runtime
 Algorithm: **4-ary skip-link DFS with parent-dwell leaf blocks**
 (layout built by accel.build.build_wide_bvh):
 
-  * an internal node row carries all FOUR child AABBs + child words + skip
-    in one 32-float gather — one step tests four children;
+  * an internal node row carries all FOUR child AABBs (bf16 pairs packed
+    one-per-axis to halve consumed columns; bounds rounded outward) plus
+    child words + skip — one 17-column read tests four children;
   * leaves are padded 16-triangle blocks; a hit leaf child is tested in ONE
-    step (a 192-float block gather + 16 lockstep Moller-Trumbore tests)
-    while the cursor dwells at the parent, so leaves own no rows and no
-    skip state;
+    step (a 192-float block gather + 16 lockstep Moller-Trumbore tests on
+    contiguous component-major column groups) while the cursor dwells at
+    the parent, so leaves own no rows and no skip state;
   * the cursor then descends into the first hit internal child; finished
     subtrees escape along static internal-sibling skip links (a missed
     sibling reached this way costs one step: its children all miss by
@@ -38,7 +39,18 @@ a step cap (early-exiting tiles stop sooner); the few unfinished rays are
 then compacted to the front (one stable argsort) and phase 2 finishes them
 — tiles of finished rays exit after a single iteration. Triangles are
 pre-deindexed at scene-flatten time in block-padded order so a leaf is one
-contiguous 192-float row.
+contiguous 192-float row. Net effect on the 524k-tri closest-hit
+benchmark: 0.33 (round 1) -> 1.21 Mrays/s.
+
+Measured-and-rejected this round (benchmarks/ scripts, git history):
+  * collect-then-test (node-only walk records per-ray block lists, then
+    one dense batched block sweep): 0.62 vs 1.21 Mrays/s — the no-pruning
+    walk pays more steps than the inline walk saves in block columns;
+  * per-tile frustum pre-walk: silhouette frusta visit ~3000 nodes, and
+    256-lane walks cannot hide the per-iteration floor;
+  * one-hot-matmul node lookup: no better than gather at any table size;
+  * jnp.nonzero compaction + segment_min reduction: ~30 ms of scatter
+    pathology, replaced by grid reshapes before the path was removed.
 
 Mosaic/Pallas has no large-table per-lane dynamic gather (indices must
 match the table shape), so this stays pure JAX by design — measured and
@@ -54,11 +66,11 @@ import jax.numpy as jnp
 
 from .build import BLOCK_SIZE
 
-TILE = 8192  # rays per tile; with two-phase tail compaction bigger tiles
-# amortize the per-step gather latency (per-ray marginal cost falls ~3x
-# from 4k to 16k rays) without paying the worst-ray tail per tile.
-PHASE1_CAP = 48  # phase-1 step cap ~ p95 of per-ray step counts on the
-# 524k-tri benchmark; the tail beyond it is finished compacted in phase 2.
+TILE = 4096  # rays per early-exit tile; swept on TPU v5 (524k-tri
+# benchmark): 4096 edges out 8192 (1.21 vs 1.10 Mrays/s) — smaller tiles
+# localize the worst-ray tail that two-phase compaction then mops up.
+PHASE1_CAP = 36  # phase-1 step cap (~p95 of per-ray steps on the 524k-tri
+# benchmark); the tail beyond it is finished compacted in phase 2.
 INF = float("inf")  # Python literal: an import-time device scalar closed
 # over in jit hits a catastrophic constant path on TPU (measured 3000x)
 
@@ -74,12 +86,13 @@ class MeshPool:
     """
 
     # 4-ary internal node rows (see accel.build.WideBVH): per child c
-    # cols [6c,6c+6) lower/upper, cols 24-27 bitcast child words,
-    # col 28 bitcast skip
-    node_rows: jax.Array  # (Ni, 32) f32
+    # cols [3c,3c+3) bf16-packed lower/upper per axis, cols 12-15 bitcast
+    # child words, col 16 bitcast skip
+    node_rows: jax.Array  # (Ni, 24) f32
 
-    # leaf blocks: 16 consecutive padded triangles of 12 floats each
-    # (v0.xyz v1.xyz v2.xyz pad3) — one row gather tests a whole leaf
+    # leaf blocks: 16 padded triangles, component-major within the row
+    # (16x v0x | 16x v0y | ... | 16x v2z | 48 pad) — one row gather tests
+    # a whole leaf via contiguous 16-wide column groups
     block_rows: jax.Array  # (B, 192) f32
 
     tri_cdf: jax.Array  # (Tp,) f32 per-mesh area CDF over PADDED order
@@ -179,19 +192,41 @@ def _tri_hit(va, vb, vc, o, d, eps=1e-9):
     return hit, t
 
 
+def _unpack_axis(col):
+    """Decode one packed-box column: u32 with bf16(upper) in the high half
+    and bf16(lower) in the low half (accel.build._bf16_pack_bounds).
+    NaN-filled empty slots decode to NaN and fail every comparison."""
+    u = jax.lax.bitcast_convert_type(col, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitwise_and(u, jnp.uint32(0xFFFF0000)), jnp.float32
+    )
+    lo = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(u, jnp.uint32(16)), jnp.float32
+    )
+    return lo, hi
+
+
 def _child_tests(row, o, rd, best_t, live):
-    """Slab-test the four child AABBs packed in a node row.
+    """Slab-test the four bf16-packed child AABBs in a node row. Gather
+    cost in loops scales with CONSUMED columns on this runtime, so the
+    boxes are bf16 pairs (3 columns per child instead of 6); bounds are
+    rounded outward at build time, making the test conservative.
     Returns (ok_c, word_c lists of 4, skip)."""
+    from .build import NODE_SKIP_COL, NODE_WORD_COL
+
     ok = []
     words = []
     for c in range(4):
-        b = 6 * c
-        t0x = (row[:, b + 0] - o[0]) * rd[0]
-        t1x = (row[:, b + 3] - o[0]) * rd[0]
-        t0y = (row[:, b + 1] - o[1]) * rd[1]
-        t1y = (row[:, b + 4] - o[1]) * rd[1]
-        t0z = (row[:, b + 2] - o[2]) * rd[2]
-        t1z = (row[:, b + 5] - o[2]) * rd[2]
+        b = 3 * c
+        lox, hix = _unpack_axis(row[:, b + 0])
+        loy, hiy = _unpack_axis(row[:, b + 1])
+        loz, hiz = _unpack_axis(row[:, b + 2])
+        t0x = (lox - o[0]) * rd[0]
+        t1x = (hix - o[0]) * rd[0]
+        t0y = (loy - o[1]) * rd[1]
+        t1y = (hiy - o[1]) * rd[1]
+        t0z = (loz - o[2]) * rd[2]
+        t1z = (hiz - o[2]) * rd[2]
         tn = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
@@ -201,22 +236,23 @@ def _child_tests(row, o, rd, best_t, live):
             jnp.maximum(t0z, t1z),
         )
         ok.append(live & (tn <= tf) & (tn < best_t))
-        words.append(jax.lax.bitcast_convert_type(row[:, 24 + c], jnp.int32))
-    skip = jax.lax.bitcast_convert_type(row[:, 28], jnp.int32)
+        words.append(
+            jax.lax.bitcast_convert_type(row[:, NODE_WORD_COL + c], jnp.int32)
+        )
+    skip = jax.lax.bitcast_convert_type(row[:, NODE_SKIP_COL], jnp.int32)
     return ok, words, skip
 
 
 def _block_test(pool, block_base, blk_local, dwell, o, d, best_t):
     """Gather one padded 16-tri leaf block per ray and test all triangles.
     Returns (found, t_min, tri_local) where tri_local indexes padded order."""
-    r = dwell.shape[0]
     brow = pool.block_rows[block_base + jnp.where(dwell, blk_local, 0)]
-    blk = brow.reshape(r, BLOCK_SIZE, 12)
     ob = tuple(c[:, None] for c in o)
     db = tuple(c[:, None] for c in d)
-    va = (blk[:, :, 0], blk[:, :, 1], blk[:, :, 2])
-    vb = (blk[:, :, 3], blk[:, :, 4], blk[:, :, 5])
-    vc = (blk[:, :, 6], blk[:, :, 7], blk[:, :, 8])
+    B = BLOCK_SIZE
+    va = (brow[:, 0:B], brow[:, B : 2 * B], brow[:, 2 * B : 3 * B])
+    vb = (brow[:, 3 * B : 4 * B], brow[:, 4 * B : 5 * B], brow[:, 5 * B : 6 * B])
+    vc = (brow[:, 6 * B : 7 * B], brow[:, 7 * B : 8 * B], brow[:, 8 * B : 9 * B])
     hit, t = _tri_hit(va, vb, vc, ob, db)  # (R, 16)
     tt = jnp.where(hit & dwell[:, None] & (t < best_t[:, None]), t, INF)
     t_min = tt.min(axis=1)
@@ -396,216 +432,6 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
     return out[2:4] + out[4:]
 
 
-# --------------------------------------------------- collect-then-test path
-#
-# For BIG meshes the lockstep inline walk above is bound by the leaf-block
-# gather: the block table exceeds what XLA can stage in VMEM, and an HBM
-# row gather costs ~20 ns per lane per step — including every masked,
-# finished, or non-dwelling lane. On the 524k-tri benchmark that is ~5.6M
-# wasted-row gathers versus only ~140k blocks actually hit.
-#
-# The fix is to split the traversal: a cheap WALK pass (node rows only —
-# the node table is ~3 MB and XLA keeps it on-chip, making walk iterations
-# nearly free) records each ray's hit leaf blocks into a fixed (R, M) list;
-# the lists are then compacted into ONE dense (ray, block) pair array
-# (jnp.nonzero with a static size) and all pairs are tested in a single
-# batched gather + 16-wide Moller-Trumbore sweep — bandwidth-bound, with no
-# serial dependence and no lockstep waste. Per-ray results come back via
-# sorted segment minima. Rays that overflow M list slots (or a truncated
-# pair budget) are re-run through the inline walker, compacted to the
-# front, exactly like phase 2 above.
-
-COLLECT_M = 32  # per-ray block-list slots (524k-tri benchmark max: 24)
-COLLECT_K_FACTOR = 4  # dense pair budget = factor * rays (benchmark: ~2.2)
-COLLECT_MIN_BYTES = 8 * 2**20  # block tables under ~8 MB stay inline: XLA
-# stages them in VMEM where the inline walk's block gather is cheap
-
-
-def _walk_collect_tile(pool, node_offset, o, d, state):
-    """Node-only walk recording hit leaf blocks. state = (cur, lc, tmax,
-    nblk, blist (M, R), over). The list is carried TRANSPOSED — (M, R)
-    keeps the ray dimension in vector lanes; an (R, M) list in the loop
-    state hits the small-minor-dim relayout pathology (measured 135 ms vs
-    ~3 ms for this walk on the 524k-tri benchmark). Prunes boxes only
-    against tmax (no best_t tightening — triangles are not tested here)."""
-    rd = _safe_rcp3(d)
-
-    def cond(s):
-        return jnp.any(s[0] >= 0)
-
-    def body(s):
-        cur, lc, tmax, nblk, blist, over = s
-        live = cur >= 0
-        row = pool.node_rows[node_offset + jnp.maximum(cur, 0)]
-        ok, words, skip = _child_tests(row, o, rd, tmax, live)
-
-        ss = jnp.full_like(cur, 4)
-        w_s = jnp.zeros_like(cur)
-        for c in range(3, -1, -1):
-            cand = ok[c] & (words[c] < 0) & (lc <= c)
-            ss = jnp.where(cand, jnp.int32(c), ss)
-            w_s = jnp.where(cand, words[c], w_s)
-        dwell = live & (ss < 4)
-        blk_local = -w_s - 1
-
-        # record the block: one-hot write into the (M, R) list
-        fits = dwell & (nblk < COLLECT_M)
-        slot_iota = jnp.arange(COLLECT_M, dtype=jnp.int32)[:, None]  # (M, 1)
-        put = fits[None, :] & (slot_iota == nblk[None, :])
-        blist = jnp.where(put, blk_local[None, :], blist)
-        nblk = nblk + fits.astype(jnp.int32)
-        over = over | (dwell & ~fits)
-
-        nxt = skip
-        for c in range(3, -1, -1):
-            nxt = jnp.where(ok[c] & (words[c] >= 0), words[c], nxt)
-        cur = jnp.where(live, jnp.where(dwell, cur, nxt), cur)
-        lc = jnp.where(dwell, ss + 1, 0)
-        return cur, lc, tmax, nblk, blist, over
-
-    return jax.lax.while_loop(cond, body, state)
-
-
-def _collect_walk(pool, node_offset, o, d, tmax, tile):
-    """Tiled walk pass. Returns (nblk, blist, over) for the full batch."""
-    r = o[0].shape[0]
-
-    if r <= tile:
-        state = (
-            jnp.zeros((r,), jnp.int32),
-            jnp.zeros((r,), jnp.int32),
-            jnp.asarray(tmax, jnp.float32),
-            jnp.zeros((r,), jnp.int32),
-            jnp.zeros((COLLECT_M, r), jnp.int32),
-            jnp.zeros((r,), jnp.bool_),
-        )
-        out = _walk_collect_tile(pool, node_offset, o, d, state)
-        return out[3], out[4].T, out[5]
-
-    n_tiles = r // tile
-
-    def one(args):
-        oo = args[0:3]
-        dd = args[3:6]
-        cur, lc, tm, nblk, blist, over = args[6:]
-        out = _walk_collect_tile(
-            pool, node_offset, oo, dd, (cur, lc, tm, nblk, blist, over)
-        )
-        # transpose outside the hot loop: (M, tile) -> (tile, M)
-        return out[3], out[4].T, out[5]
-
-    tm_full = jnp.asarray(tmax, jnp.float32).reshape(n_tiles, tile)
-    parts = tuple(c.reshape(n_tiles, tile) for c in o + d) + (
-        jnp.zeros((n_tiles, tile), jnp.int32),
-        jnp.zeros((n_tiles, tile), jnp.int32),
-        tm_full,
-        jnp.zeros((n_tiles, tile), jnp.int32),
-        jnp.zeros((n_tiles, COLLECT_M, tile), jnp.int32),
-        jnp.zeros((n_tiles, tile), jnp.bool_),
-    )
-    nblk, blist, over = jax.lax.map(one, parts)
-    return nblk.reshape(r), blist.reshape(r, COLLECT_M), over.reshape(r)
-
-
-def _dense_block_test(pool, tri_offset, nblk, blist, origins, dirs, tmax):
-    """Flatten per-ray block lists to a dense pair array, test every pair's
-    16 triangles in one batched sweep, and reduce per ray via sorted
-    segment minima. Returns (best_t, best_tri, over_budget)."""
-    r = origins.shape[0]
-    block_base = tri_offset // BLOCK_SIZE
-    k_budget = COLLECT_K_FACTOR * r
-
-    slot_iota = jnp.arange(COLLECT_M, dtype=jnp.int32)[None, :]
-    mask = slot_iota < nblk[:, None]  # (R, M)
-    flat_mask = mask.reshape(-1)
-    flat_blk = blist.reshape(-1)
-
-    (pos,) = jnp.nonzero(flat_mask, size=k_budget, fill_value=0)
-    total = flat_mask.sum()
-    valid = jnp.arange(k_budget) < total
-    pair_blk = jnp.where(valid, flat_blk[pos], 0)
-    pair_ray = (pos // COLLECT_M).astype(jnp.int32)
-
-    # rays whose pairs fell past the budget must be re-run inline
-    starts = jnp.cumsum(nblk) - nblk
-    over_budget = (starts + nblk) > k_budget
-
-    ob = tuple(c[pair_ray][:, None] for c in _split3(origins))
-    db = tuple(c[pair_ray][:, None] for c in _split3(dirs))
-    tmax_p = jnp.asarray(tmax, jnp.float32)[pair_ray]
-
-    brow = pool.block_rows[block_base + pair_blk]  # (K, 192)
-    blk = brow.reshape(-1, BLOCK_SIZE, 12)
-    va = (blk[:, :, 0], blk[:, :, 1], blk[:, :, 2])
-    vb = (blk[:, :, 3], blk[:, :, 4], blk[:, :, 5])
-    vc = (blk[:, :, 6], blk[:, :, 7], blk[:, :, 8])
-    hit, t = _tri_hit(va, vb, vc, ob, db)  # (K, 16)
-    tt = jnp.where(hit & valid[:, None] & (t < tmax_p[:, None]), t, INF)
-    t_pair = tt.min(axis=1)
-    slot = jnp.argmin(tt, axis=1).astype(jnp.int32)
-    tri_pair = pair_blk * BLOCK_SIZE + slot
-
-    seg_t = jax.ops.segment_min(
-        t_pair, pair_ray, num_segments=r, indices_are_sorted=True
-    )
-    big = jnp.int32(2**30)
-    code = jnp.where(
-        jnp.isfinite(t_pair) & (t_pair == seg_t[pair_ray]), tri_pair, big
-    )
-    seg_tri = jax.ops.segment_min(
-        code, pair_ray, num_segments=r, indices_are_sorted=True
-    )
-    found = jnp.isfinite(seg_t) & (seg_tri < big)
-    best_t = jnp.where(found, seg_t, jnp.asarray(tmax, jnp.float32))
-    best_tri = jnp.where(found, seg_tri, -1)
-    return best_t, best_tri, over_budget
-
-
-def _run_collect(pool, node_offset, tri_offset, origins, dirs, tmax, tile):
-    """Full collect-then-test closest hit, with an inline-walk cleanup pass
-    for rays that overflowed the list slots or the pair budget."""
-    r = origins.shape[0]
-    if r > tile and r % tile != 0:
-        pad = tile - r % tile
-        origins = jnp.concatenate(
-            [origins, jnp.full((pad, 3), 1e9, jnp.float32)]
-        )
-        dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
-        tmax = jnp.concatenate(
-            [jnp.asarray(tmax, jnp.float32), jnp.zeros((pad,), jnp.float32)]
-        )
-        out = _run_collect(
-            pool, node_offset, tri_offset, origins, dirs, tmax, tile
-        )
-        return tuple(x[:r] for x in out)
-
-    o = _split3(origins)
-    d = _split3(dirs)
-    nblk, blist, over = _collect_walk(pool, node_offset, o, d, tmax, tile)
-    best_t, best_tri, over_budget = _dense_block_test(
-        pool, tri_offset, nblk, blist, origins, dirs, tmax
-    )
-    redo = over | over_budget
-
-    # cleanup: compact overflow rays to the front, re-run the inline walker
-    # (non-overflow rays get tmax 0 -> one-step exit). Overflow is empty on
-    # every benchmarked workload; this pass guarantees correctness anyway.
-    perm = jnp.argsort(~redo, stable=True)  # overflow rays first
-    inv = jnp.argsort(perm)
-    tm2 = jnp.where(redo, jnp.asarray(tmax, jnp.float32), 0.0)[perm]
-    state = _init_state(r, tm2)
-    out = _map_tiles(
-        pool, node_offset, tri_offset,
-        tuple(c[perm] for c in o), tuple(c[perm] for c in d),
-        state, tile, None, False,
-    )
-    t_fix = jnp.take(out[2], inv)
-    tri_fix = jnp.take(out[3], inv)
-    best_t = jnp.where(redo, t_fix, best_t)
-    best_tri = jnp.where(redo, tri_fix, best_tri)
-    return best_t, best_tri
-
-
 def _refit_hit(pool: MeshPool, tri_offset, origins, dirs, best_tri, best_t):
     """Recompute (u, v, w, n_geo) at the winning triangle — one vectorized
     differentiable triangle test instead of carrying barycentrics through
@@ -628,9 +454,7 @@ def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
 
     If num_tris is given and small, skips the tree entirely and tests all
     triangles broadcast against all rays — for tiny meshes (area-light
-    quads) the O(T*R) masked sweep beats any traversal. Big meshes (block
-    table beyond VMEM staging) use the collect-then-test path; mid-size
-    ones the inline lockstep walk.
+    quads) the O(T*R) masked sweep beats any traversal.
     """
     if num_tris is not None and num_tris <= BLOCK_SIZE:
         return _intersect_mesh_brute(
@@ -638,14 +462,9 @@ def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
         )
 
     tile = TILE if tile is None else tile
-    if pool.block_rows.size * 4 >= COLLECT_MIN_BYTES:
-        best_t, best_tri = _run_collect(
-            pool, node_offset, tri_offset, origins, dirs, tmax, tile
-        )
-    else:
-        best_t, best_tri = _run_tiled(
-            pool, node_offset, tri_offset, origins, dirs, tmax, tile
-        )
+    best_t, best_tri = _run_tiled(
+        pool, node_offset, tri_offset, origins, dirs, tmax, tile
+    )
     return _refit_hit(pool, tri_offset, origins, dirs, best_tri, best_t)
 
 

@@ -438,26 +438,32 @@ class Scene:
             node_rows = np.concatenate(node_rows_list, axis=0)
         else:
             # empty pool: one terminal row (NaN child boxes never hit)
+            from ..accel.build import NODE_SKIP_COL, NODE_WORD_COL
             node_rows = np.full((1, NODE_ROW_WIDTH), np.nan, np.float32)
-            node_rows[0, 24:] = 0.0
-            node_rows[0, 28] = np.int32(-1).view(np.float32)
+            node_rows[0, NODE_WORD_COL:] = 0.0
+            node_rows[0, NODE_SKIP_COL] = np.int32(-1).view(np.float32)
 
-        # (B, 192) leaf-block rows: 16 padded triangles of 12 floats each —
-        # one row gather tests a whole leaf (gather cost is flat in row
-        # width on this runtime; see accel/traverse.py)
+        # (B, 192) leaf-block rows: one row gather tests a whole 16-tri
+        # leaf. Component-major within the row (16x v0x, 16x v0y, ...,
+        # 16x v2z, 48 pad): the Moller-Trumbore sweep then consumes nine
+        # CONTIGUOUS 16-wide column groups instead of 9 stride-12 slices,
+        # which is what the runtime's column-consumption cost rewards
+        # (see accel/traverse.py)
         def blocks192():
             if not tri_arrays["v0"]:
                 return jnp.zeros((1, BLOCK_SIZE * 12), jnp.float32)
-            a = np.concatenate([np.asarray(x) for x in tri_arrays["v0"]])
-            b = np.concatenate([np.asarray(x) for x in tri_arrays["v1"]])
-            c = np.concatenate([np.asarray(x) for x in tri_arrays["v2"]])
-            out = np.zeros((a.shape[0], 12), np.float32)
-            out[:, 0:3] = a
-            out[:, 3:6] = b
-            out[:, 6:9] = c
-            return jnp.asarray(
-                out.reshape(a.shape[0] // BLOCK_SIZE, BLOCK_SIZE * 12)
-            )
+            comps = [
+                np.concatenate([np.asarray(x) for x in tri_arrays[key]])[:, i]
+                for key in ("v0", "v1", "v2")
+                for i in range(3)
+            ]  # 9 x (Tp,)
+            n_blocks = comps[0].shape[0] // BLOCK_SIZE
+            out = np.zeros((n_blocks, BLOCK_SIZE * 12), np.float32)
+            for g, comp in enumerate(comps):
+                out[:, BLOCK_SIZE * g : BLOCK_SIZE * (g + 1)] = comp.reshape(
+                    n_blocks, BLOCK_SIZE
+                )
+            return jnp.asarray(out)
 
         def planes9(k0, k1, k2):
             cols = []
