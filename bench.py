@@ -80,6 +80,11 @@ def main():
     # secondary: large-mesh BVH closest-hit (524k-tri sphere, 65k rays)
     bigmesh_mrays = _bigmesh_metric()
 
+    # speed-of-light accounting (see README "Speed of light" for the model)
+    hbm_gbps = _measure_hbm_bw()
+    bigmesh_sol_mrays = hbm_gbps * 1e9 / _BIGMESH_BYTES_PER_RAY / 1e6
+    fwd_sol_rays = hbm_gbps * 1e9 / _FWD_BYTES_PER_RAY
+
     platform = jax.devices()[0].platform
     print(
         json.dumps(
@@ -91,10 +96,63 @@ def main():
                 "fwd_bwd_rays_per_sec": round(fwdbwd_rays_per_sec),
                 "spp_per_sec": round(n_timed / dt, 3),
                 "bigmesh_524k_closest_hit_mrays_per_sec": bigmesh_mrays,
+                "hbm_bw_gbps": round(hbm_gbps, 1),
+                "bigmesh_sol_mrays_per_sec": round(bigmesh_sol_mrays, 1),
+                "bigmesh_sol_fraction": round(
+                    bigmesh_mrays / bigmesh_sol_mrays, 4
+                ),
+                "fwd_sol_rays_per_sec": round(fwd_sol_rays),
+                "fwd_sol_fraction": round(fwd_rays_per_sec / fwd_sol_rays, 4),
                 "platform": platform,
             }
         )
     )
+
+
+# --------------------------------------------------- speed-of-light model
+#
+# The roofline is HBM-traffic based: a machine limited only by memory
+# bandwidth must move at least the bytes below per ray; SOL rays/s =
+# measured_BW / bytes_per_ray. Per-ray byte minima come from the step
+# simulators in benchmarks/step_stats*.py run on exactly the bench
+# workloads (provenance in README). The measured fraction is honest about
+# this machine's real limiter — serial gather LATENCY, not bandwidth —
+# which is why it is far below 1.
+
+# bigmesh: mean 13.5 node visits x 68 consumed bytes (17 cols) + mean 2.1
+# hit leaf blocks x 576 bytes (144 consumed cols of the 192-col block row)
+_BIGMESH_BYTES_PER_RAY = 13.5 * 68 + 2.1 * 576
+
+# cornell forward: the scene tables fit on chip; the irreducible traffic
+# is the path/shadow-ray state (~32 f32 read + written once per counted
+# ray through the bounce loop)
+_FWD_BYTES_PER_RAY = 2 * 32 * 4
+
+
+def _measure_hbm_bw():
+    """Effective streaming HBM bandwidth from an in-jit repeated saxpy
+    (2 reads + 1 write per element per iteration), synced by transferring
+    one element — block_until_ready returns early on this runtime."""
+    n = 16 * 1024 * 1024  # 64 MB per array
+    k = 8
+    a = jnp.ones((n,), jnp.float32)
+    b = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def run(a, b):
+        def body(i, y):
+            return y * 0.999999 + b
+
+        return jax.lax.fori_loop(0, k, body, a)
+
+    np.asarray(run(a, b).ravel()[:1])
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = run(a, b)
+    np.asarray(out.ravel()[:1])
+    dt = (time.perf_counter() - t0) / reps
+    return 3 * n * 4 * k / dt / 1e9
 
 
 def _bigmesh_metric():
