@@ -60,8 +60,15 @@ def main():
     n_timed = n_chunks * spp_chunk
     fwd_rays_per_sec = rays_per_pass * n_timed / dt
 
-    # fwd+bwd step (material+camera gradients); keys derived on device
-    opts = dict(width=width, height=height, max_depth=max_depth)
+    # fwd+bwd step (material+camera gradients); keys derived on device.
+    # 4 spp per dispatch: grad throughput saturates there (measured r2);
+    # the matched-granularity forward is timed alongside so the reported
+    # ratio compares like with like.
+    grad_spp = 4
+    opts = dict(
+        width=width, height=height, max_depth=max_depth,
+        samples_per_pass=grad_spp,
+    )
     target = jnp.zeros((height, width, 3), jnp.float32)
     grad_fn = jax.jit(
         lambda f, c, k, s: render_loss_and_grads(
@@ -69,13 +76,28 @@ def main():
         )
     )
     np.asarray(grad_fn(flat, cam, key, 0)[0])
-    n_grad = 8
+    n_grad = 4
     t0 = time.perf_counter()
     for s in range(n_grad):
         loss, _ = grad_fn(flat, cam, key, s)
     np.asarray(loss)
     dt_g = time.perf_counter() - t0
-    fwdbwd_rays_per_sec = rays_per_pass * n_grad / dt_g
+    fwdbwd_rays_per_sec = rays_per_pass * grad_spp * n_grad / dt_g
+
+    from tinsel_tpu.diff.gradients import render_loss
+
+    fwd_matched = jax.jit(
+        lambda f, c, k, s: render_loss(
+            f, c, jax.random.fold_in(k, s), target, **opts
+        )
+    )
+    np.asarray(fwd_matched(flat, cam, key, 0))
+    t0 = time.perf_counter()
+    for s in range(n_grad):
+        loss_f = fwd_matched(flat, cam, key, s)
+    np.asarray(loss_f)
+    dt_fm = time.perf_counter() - t0
+    bwd_ratio_matched = dt_g / dt_fm
 
     # secondary: large-mesh BVH closest-hit (524k-tri sphere, 65k rays)
     bigmesh_mrays = _bigmesh_metric()
@@ -94,6 +116,7 @@ def main():
                 "unit": "rays/s",
                 "vs_baseline": round(fwd_rays_per_sec / R1_FWD_RAYS_PER_SEC, 3),
                 "fwd_bwd_rays_per_sec": round(fwdbwd_rays_per_sec),
+                "fwd_bwd_over_fwd_matched_spp": round(bwd_ratio_matched, 2),
                 "spp_per_sec": round(n_timed / dt, 3),
                 "bigmesh_524k_closest_hit_mrays_per_sec": bigmesh_mrays,
                 "hbm_bw_gbps": round(hbm_gbps, 1),

@@ -1,0 +1,70 @@
+"""Region-level parity against committed reference-rendered goldens.
+
+The PFMs in tests/goldens/ref_*.pfm were rendered ONCE by the reference's
+own CPU path tracer (render.cpp:447-524), compiled headless by
+benchmarks/cross_validate.py — so this asserts agreement with the original
+renderer on every run without compiling it at test time.
+
+cornell_parity bakes the light quad's scale into the mesh: the reference's
+area-light pdf drops the s^2 Jacobian for scaled lights
+(intersection.h:833-853), a documented intentional deviation — with the
+scale baked in, both renderers sample identical geometry.
+
+Tolerances are calibrated from the measured agreement (simple: mean ratio
+1.0002 / region max 0.64%; cornell: 0.998 / 4.0%) with ~2x margin for
+sampler noise; they are far tighter than any real shading regression.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from tinsel_tpu.io.hdr import load_pfm
+from tinsel_tpu.render.renderer import render
+from tinsel_tpu.scene.loaders.tin import load_tin
+
+HERE = os.path.dirname(__file__)
+ROOT = os.path.dirname(HERE)
+
+
+CASES = [
+    # (scene, golden, spp, w, h, ratio_tol, region_tol)
+    (
+        "scenes/simple.tin",
+        "tests/goldens/ref_simple_128x64_s256.pfm",
+        256, 128, 64, 0.02, 0.03,
+    ),
+    (
+        "tests/data/cornell_parity.tin",
+        "tests/goldens/ref_cornell_64x64_s128.pfm",
+        128, 64, 64, 0.025, 0.08,
+    ),
+]
+
+
+@pytest.mark.parametrize("scene_path,golden,spp,w,h,ratio_tol,region_tol",
+                         CASES, ids=["simple", "cornell"])
+def test_reference_parity(scene_path, golden, spp, w, h, ratio_tol,
+                          region_tol):
+    ref = load_pfm(os.path.join(ROOT, golden))[::-1]  # bottom-up scanlines
+    sc = load_tin(os.path.join(ROOT, scene_path))
+    opts = dataclasses.replace(sc.options, width=w, height=h)
+    acc = np.asarray(render(sc, spp=spp, options=opts))
+    img = acc[..., :3] / np.maximum(acc[..., 3:4], 1e-7)
+
+    ratio = float(img.mean() / ref.mean())
+    assert abs(ratio - 1.0) < ratio_tol, f"global mean ratio {ratio:.4f}"
+
+    # 4x4 grid of region means, error relative to the global reference mean
+    rh, rw = h // 4, w // 4
+    for by in range(4):
+        for bx in range(4):
+            r_m = ref[by * rh : (by + 1) * rh, bx * rw : (bx + 1) * rw].mean()
+            o_m = img[by * rh : (by + 1) * rh, bx * rw : (bx + 1) * rw].mean()
+            err = abs(o_m - r_m) / max(float(ref.mean()), 1e-9)
+            assert err < region_tol, (
+                f"region ({by},{bx}): ours {o_m:.4f} vs ref {r_m:.4f} "
+                f"(err {err:.4f})"
+            )
