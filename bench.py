@@ -29,6 +29,10 @@ R1_FWD_RAYS_PER_SEC = 84_000_000.0
 
 
 def main():
+    from tinsel_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from tinsel_tpu.scene.presets import cornell_scene
     from tinsel_tpu.render.renderer import make_accumulate_fn
     from tinsel_tpu.render.camera import CameraParams

@@ -356,24 +356,28 @@ def _init_state(r, tmax, with_steps=False):
 def _map_tiles(pool, node_offset, tri_offset, o, d, state, tile, cap,
                with_steps):
     """lax.map the capped/uncapped loop over fixed-size tiles; each tile's
-    while_loop exits when its own rays finish."""
+    while_loop exits when its own rays finish. node_offset/tri_offset are
+    per-ray (R,) arrays (vector offsets: every ray may traverse a
+    different sub-BVH — how all mesh instances of a scene run in ONE
+    compiled traversal instead of one subgraph per mesh)."""
     r = o[0].shape[0]
     if r <= tile:
         return _traverse_tile(
             pool, node_offset, tri_offset, o, d, state, cap, with_steps
         )
     n_tiles = r // tile
-    n_ray_arrays = 6  # o + d components
 
     def one(args):
         oo = args[0:3]
         dd = args[3:6]
-        st = tuple(args[6:])
-        return _traverse_tile(
-            pool, node_offset, tri_offset, oo, dd, st, cap, with_steps
-        )
+        no, to = args[6], args[7]
+        st = tuple(args[8:])
+        return _traverse_tile(pool, no, to, oo, dd, st, cap, with_steps)
 
-    parts = tuple(c.reshape(n_tiles, tile) for c in o + d + state)
+    parts = tuple(
+        c.reshape(n_tiles, tile)
+        for c in o + d + (node_offset, tri_offset) + state
+    )
     out = jax.lax.map(one, parts)
     return tuple(x.reshape(r) for x in out)
 
@@ -385,6 +389,10 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
     phase 2 (tiles of finished rays exit after one iteration).
     Returns (best_t, best_tri[, steps])."""
     r = origins.shape[0]
+    node_offset = jnp.broadcast_to(
+        jnp.asarray(node_offset, jnp.int32), (r,)
+    )
+    tri_offset = jnp.broadcast_to(jnp.asarray(tri_offset, jnp.int32), (r,))
     if r > tile and r % tile != 0:
         # pad with degenerate rays (far origin, tmax 0 -> root children all
         # fail the t < best_t test, one step)
@@ -395,6 +403,12 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
         dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
         tmax = jnp.concatenate(
             [jnp.asarray(tmax, jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        )
+        node_offset = jnp.concatenate(
+            [node_offset, jnp.zeros((pad,), jnp.int32)]
+        )
+        tri_offset = jnp.concatenate(
+            [tri_offset, jnp.zeros((pad,), jnp.int32)]
         )
         out = _run_tiled(
             pool, node_offset, tri_offset, origins, dirs, tmax, tile,
@@ -425,7 +439,8 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
     st2 = tuple(x[perm] for x in st1)
     # phase 2: uncapped
     out = _map_tiles(
-        pool, node_offset, tri_offset, o2, d2, st2, tile, None, with_steps
+        pool, node_offset[perm], tri_offset[perm], o2, d2, st2, tile, None,
+        with_steps,
     )
     inv = jnp.argsort(perm)
     out = tuple(jnp.take(x, inv) for x in out)
@@ -536,6 +551,10 @@ def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
 
     tile = TILE if tile is None else tile
     r = origins.shape[0]
+    node_offset = jnp.broadcast_to(
+        jnp.asarray(node_offset, jnp.int32), (r,)
+    )
+    tri_offset = jnp.broadcast_to(jnp.asarray(tri_offset, jnp.int32), (r,))
     if r > tile and r % tile != 0:
         pad = tile - r % tile
         origins = jnp.concatenate(
@@ -544,6 +563,12 @@ def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
         dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
         tmax = jnp.concatenate(
             [jnp.asarray(tmax, jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        )
+        node_offset = jnp.concatenate(
+            [node_offset, jnp.zeros((pad,), jnp.int32)]
+        )
+        tri_offset = jnp.concatenate(
+            [tri_offset, jnp.zeros((pad,), jnp.int32)]
         )
         return intersect_mesh_any(
             pool, node_offset, tri_offset, origins, dirs, tmax, tile=tile
@@ -557,11 +582,13 @@ def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
 
     def one(args):
         return _traverse_tile_any(
-            pool, node_offset, tri_offset, args[0:3], args[3:6], args[6]
+            pool, args[7], args[8], args[0:3], args[3:6], args[6]
         )
 
     parts = tuple(c.reshape(n_tiles, tile) for c in o + d) + (
         jnp.asarray(tmax, jnp.float32).reshape(n_tiles, tile),
+        node_offset.reshape(n_tiles, tile),
+        tri_offset.reshape(n_tiles, tile),
     )
     return jax.lax.map(one, parts).reshape(r)
 

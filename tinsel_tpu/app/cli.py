@@ -70,7 +70,7 @@ def render_one(scene, args, out_path: str):
     from ..io.png import write_png
     from ..render.camera import CameraParams
     from ..render.renderer import make_accumulate_fn
-    from ..render.nlm import nlm_filter
+    from ..ops.pallas.nlm import nlm_denoise
     from ..parallel.checkpoint import load_checkpoint, save_checkpoint
 
     o = scene.options
@@ -146,7 +146,7 @@ def render_one(scene, args, out_path: str):
     else:
         img = resolve(accum, exposure=o.exposure, limit=o.limit)
         if args.denoise:
-            img = nlm_filter(img, args.nlm_falloff, args.nlm_radius)
+            img = nlm_denoise(img, args.nlm_falloff, args.nlm_radius)
         img = np.asarray(img)
     from ..io.png import write_png as _wp
 
@@ -156,6 +156,10 @@ def render_one(scene, args, out_path: str):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     if args.convert:
         from ..scene.loaders.mesh_io import import_mesh, save_mesh_cache

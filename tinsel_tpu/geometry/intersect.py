@@ -60,7 +60,9 @@ def intersect_ray_plane(plane, origin, direction):
     t = num / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
     hit = (jnp.abs(d) > 1e-30) & (t > 0.0)
     t = jnp.where(hit, t, INF)
-    return hit, t, jnp.broadcast_to(n, origin.shape)
+    # n broadcast against the full batched result shape (plane and ray
+    # batch dims may both be present)
+    return hit, t, jnp.broadcast_to(n, t.shape + (3,))
 
 
 def intersect_ray_tri(a, b, c, origin, direction):

@@ -64,32 +64,72 @@ def prim_transform(scene: SceneFlat, i: int, times):
     return interpolate_transform(start, end, times)
 
 
-def _mesh_groups(scene: SceneFlat):
-    """Static grouping of mesh primitives by shared pool segment (instances
-    of one mesh). Returns ({(node_off, tri_off): [prim indices]}, others)."""
-    groups: dict = {}
+def _prim_transforms_batched(scene: SceneFlat, idxs, times):
+    """(I, R)-batched interpolated transforms of primitives `idxs` — one
+    set of ops regardless of instance count, so compile time stays flat in
+    the number of primitives (an unrolled per-instance transform chain was
+    measured to scale XLA compile time linearly in mesh count)."""
+    import numpy as _np
+
+    sel = _np.asarray(idxs, _np.int32)
+    start = Transform(
+        p=scene.prims.start_p[sel][:, None, :],
+        q=scene.prims.start_q[sel][:, None, :],
+        s=scene.prims.start_s[sel][:, None],
+    )
+    end = Transform(
+        p=scene.prims.end_p[sel][:, None, :],
+        q=scene.prims.end_q[sel][:, None, :],
+        s=scene.prims.end_s[sel][:, None],
+    )
+    return interpolate_transform(start, end, times[None, :])
+
+
+def _mesh_partition(scene: SceneFlat):
+    """Static partition of primitives:
+    - tiny: mesh prims whose (padded) triangle count fits one block —
+      grouped by pool segment and intersected by the brute broadcast sweep
+      (an area-light quad never pays a traversal loop);
+    - big: ALL other mesh prims as one flat instance list — they trace in
+      a SINGLE batched traversal call with per-ray vector sub-BVH offsets,
+      so a 48-mesh scene compiles ONE traversal subgraph, not 48 (the
+      reference's two-level scene BVH, intersection.h:751-799, expressed
+      as instance batching);
+    - others: spheres/planes.
+    """
+    from ..accel.build import BLOCK_SIZE
+
+    tiny_groups: dict = {}
+    big = []
     others = []
     for i, ps in enumerate(scene.prim_static):
         if ps.type == MESH:
-            k = (ps.mesh.node_offset, ps.mesh.tri_offset)
-            groups.setdefault(k, []).append(i)
+            if ps.mesh.num_tris <= BLOCK_SIZE:
+                k = (ps.mesh.node_offset, ps.mesh.tri_offset)
+                tiny_groups.setdefault(k, []).append(i)
+            else:
+                big.append(i)
         else:
             others.append(i)
-    return groups, others
+    return tiny_groups, big, others
 
 
-def _instance_box_mask(h, o_l, d_l, tmax_b):
+def _instance_box_mask(handles, o_l, d_l, tmax_b):
     """Top-level cull: per-instance local-space root-AABB slab test.
-    h: MeshHandle (static root bounds); o_l/d_l: (I, R, 3) instance-local
-    rays. Returns (I, R) bool 'may hit'. Rays failing it get tmax 0 in that
-    instance's traversal copy — a one-step exit, so camera-coherent tiles
-    skip whole instances. This is the TPU form of the reference's top-level
-    scene BVH over primitives (intersection.h:751-799) for the instanced
-    case."""
+    handles: list of MeshHandle (static root bounds, one per instance);
+    o_l/d_l: (I, R, 3) instance-local rays. Returns (I, R) bool 'may hit'.
+    Rays failing it get tmax 0 in that instance's traversal copy — a
+    one-step exit, so camera-coherent tiles skip whole instances. This is
+    the TPU form of the reference's top-level scene BVH over primitives
+    (intersection.h:751-799) for the instanced case."""
     import numpy as _np
 
-    lo = jnp.asarray(_np.asarray(h.root_lower, _np.float32))[None, None, :]
-    hi = jnp.asarray(_np.asarray(h.root_upper, _np.float32))[None, None, :]
+    lo = jnp.asarray(
+        _np.asarray([h.root_lower for h in handles], _np.float32)
+    )[:, None, :]
+    hi = jnp.asarray(
+        _np.asarray([h.root_upper for h in handles], _np.float32)
+    )[:, None, :]
     # zero direction components nudged to +/-tiny so an on-bound origin
     # yields 0 * huge = 0, not 0 * inf = NaN (false cull); matches
     # accel.traverse._safe_rcp3
@@ -119,30 +159,61 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
     best_n = jnp.zeros((r, 3), jnp.float32)
     sg = jax.lax.stop_gradient
 
-    groups, others = _mesh_groups(scene)
-
-    for i in others:
-        ps = scene.prim_static[i]
-        tr = prim_transform(scene, i, times)
-        if ps.type == SPHERE:
-            hit, t, n = intersect_ray_sphere(
-                tr.p, scene.prims.radius[i] * tr.s, origins, dirs
-            )
-        else:  # PLANE
-            hit, t, n = intersect_ray_plane(scene.prims.plane[i], origins, dirs)
-        closer = hit & (t > 0.0) & (t < best_t)
-        best_t = jnp.where(closer, t, best_t)
-        best_prim = jnp.where(closer, jnp.int32(i), best_prim)
-        best_n = jnp.where(closer[..., None], n, best_n)
+    tiny_groups, big, others = _mesh_partition(scene)
 
     import numpy as _np
 
-    for (noff, toff), idxs in groups.items():
-        h = scene.prim_static[idxs[0]].mesh
+    # analytic primitives, batched by type: (S, R)/(P, R) broadcast tests
+    # + a winner reduction (no per-primitive unrolling)
+    spheres = [i for i in others if scene.prim_static[i].type == SPHERE]
+    planes = [i for i in others if scene.prim_static[i].type == PLANE]
+
+    def _merge_rows(t_rows, n_rows, ids):
+        nonlocal best_t, best_prim, best_n
+        t_min = t_rows.min(axis=0)
+        row = jnp.argmin(t_rows, axis=0)
+        closer = jnp.isfinite(t_min) & (t_min > 0.0) & (t_min < best_t)
+        n_win = jnp.take_along_axis(
+            n_rows, row[None, :, None], axis=0
+        )[0]
+        best_t = jnp.where(closer, t_min, best_t)
+        best_prim = jnp.where(
+            closer, jnp.asarray(_np.asarray(ids, _np.int32))[row], best_prim
+        )
+        best_n = jnp.where(closer[..., None], n_win, best_n)
+
+    if spheres:
+        sel = _np.asarray(spheres, _np.int32)
+        tr_b = _prim_transforms_batched(scene, spheres, times)  # (S, R)
+        hit, t, n = intersect_ray_sphere(
+            tr_b.p,
+            scene.prims.radius[sel][:, None] * tr_b.s,
+            origins[None, :, :],
+            dirs[None, :, :],
+        )
+        _merge_rows(jnp.where(hit & (t > 0.0), t, INF), n, spheres)
+
+    if planes:
+        sel = _np.asarray(planes, _np.int32)
+        hit, t, n = intersect_ray_plane(
+            scene.prims.plane[sel][:, None, :],
+            origins[None, :, :],
+            dirs[None, :, :],
+        )
+        _merge_rows(jnp.where(hit & (t > 0.0), t, INF), n, planes)
+
+    # one instance batch per tiny group (brute sweep), plus ONE batch for
+    # every big-mesh primitive in the scene (vector sub-BVH offsets)
+    batches = [(idxs, True) for idxs in tiny_groups.values()]
+    if big:
+        batches.append((big, False))
+
+    for idxs, is_tiny in batches:
+        handles = [scene.prim_static[i].mesh for i in idxs]
         n_inst = len(idxs)
-        trs = [prim_transform(scene, i, times) for i in idxs]
-        o_l = jnp.stack([inverse_transform_point(t_, origins) for t_ in trs])
-        d_l = jnp.stack([inverse_transform_vector(t_, dirs) for t_ in trs])
+        tr_b = _prim_transforms_batched(scene, idxs, times)  # (I, R)
+        o_l = inverse_transform_point(tr_b, origins[None, :, :])
+        d_l = inverse_transform_vector(tr_b, dirs[None, :, :])
 
         # Traversal is a *discrete search* for the winning triangle: run it
         # under stop_gradient (lax.while_loop has no reverse rule and
@@ -150,12 +221,26 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
         # re-evaluate the intersection differentiably at the found triangle
         # so gradients flow to vertices/transforms/ray params.
         tmax_b = jnp.broadcast_to(best_t[None, :], (n_inst, r))
-        may_hit = _instance_box_mask(h, o_l, d_l, tmax_b)
+        may_hit = _instance_box_mask(handles, o_l, d_l, tmax_b)
         tmax_i = jnp.where(may_hit, tmax_b, 0.0)
+        noff_t = _np.asarray([h.node_offset for h in handles], _np.int32)
+        toff_t = _np.asarray([h.tri_offset for h in handles], _np.int32)
+        if is_tiny:
+            # one shared segment: static scalar offsets keep the brute
+            # sweep's static slice
+            noff_b, toff_b = handles[0].node_offset, handles[0].tri_offset
+        else:
+            noff_b = jnp.broadcast_to(
+                jnp.asarray(noff_t)[:, None], (n_inst, r)
+            ).reshape(-1)
+            toff_b = jnp.broadcast_to(
+                jnp.asarray(toff_t)[:, None], (n_inst, r)
+            ).reshape(-1)
         t_f, tri_f, *_ = intersect_mesh(
-            sg(scene.pool), noff, toff,
+            sg(scene.pool), noff_b, toff_b,
             sg(o_l.reshape(n_inst * r, 3)), sg(d_l.reshape(n_inst * r, 3)),
-            sg(tmax_i.reshape(n_inst * r)), num_tris=h.num_tris,
+            sg(tmax_i.reshape(n_inst * r)),
+            num_tris=handles[0].num_tris if is_tiny else None,
         )
         # local t equals world t: the transform maps the ray's parameter
         # linearly (uniform scale folded into |d_l|), so best_t is a valid
@@ -174,9 +259,9 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
         # winning instance's local ray + rotation (differentiable selects)
         ow = (onehot[..., None] * o_l).sum(axis=0)
         dw = (onehot[..., None] * d_l).sum(axis=0)
-        qw = (onehot[..., None] * jnp.stack([t_.q for t_ in trs])).sum(axis=0)
+        qw = (onehot[..., None] * tr_b.q).sum(axis=0)
 
-        gt = toff + jnp.maximum(tri, 0)
+        gt = jnp.asarray(toff_t)[inst] + jnp.maximum(tri, 0)
         v0, v1, v2 = scene.pool.gather_tri(gt)
         _, t, u, v, w, n_geo = intersect_ray_tri(v0, v1, v2, ow, dw)
         t = jnp.where(hit & (tri >= 0), t, INF)
@@ -214,39 +299,71 @@ def trace_any(scene: SceneFlat, origins, dirs, times, tmax) -> jax.Array:
     Cheaper than trace_closest for pure visibility (probe shadow rays):
     mesh traversal exits at the first intersection — an early-out the
     reference's shadow Trace (render.cpp:17-99) does not have."""
+    import numpy as _np
+
     r = origins.shape[0]
     occ = jnp.zeros((r,), bool)
     tmax = jnp.asarray(tmax, jnp.float32)
     sg = jax.lax.stop_gradient
 
-    groups, others = _mesh_groups(scene)
+    tiny_groups, big, others = _mesh_partition(scene)
 
-    for i in others:
-        ps = scene.prim_static[i]
-        tr = prim_transform(scene, i, times)
-        if ps.type == SPHERE:
-            hit, t, _ = intersect_ray_sphere(
-                tr.p, scene.prims.radius[i] * tr.s, origins, dirs
-            )
-        else:  # PLANE
-            hit, t, _ = intersect_ray_plane(scene.prims.plane[i], origins, dirs)
-        occ = occ | (hit & (t > 0.0) & (t < tmax))
+    spheres = [i for i in others if scene.prim_static[i].type == SPHERE]
+    planes = [i for i in others if scene.prim_static[i].type == PLANE]
+    if spheres:
+        sel = _np.asarray(spheres, _np.int32)
+        tr_b = _prim_transforms_batched(scene, spheres, times)
+        hit, t, _ = intersect_ray_sphere(
+            tr_b.p,
+            scene.prims.radius[sel][:, None] * tr_b.s,
+            origins[None, :, :],
+            dirs[None, :, :],
+        )
+        occ = occ | (hit & (t > 0.0) & (t < tmax[None, :])).any(axis=0)
+    if planes:
+        sel = _np.asarray(planes, _np.int32)
+        hit, t, _ = intersect_ray_plane(
+            scene.prims.plane[sel][:, None, :],
+            origins[None, :, :],
+            dirs[None, :, :],
+        )
+        occ = occ | (hit & (t > 0.0) & (t < tmax[None, :])).any(axis=0)
 
-    for (noff, toff), idxs in groups.items():
-        h = scene.prim_static[idxs[0]].mesh
+    batches = [(idxs, True) for idxs in tiny_groups.values()]
+    if big:
+        batches.append((big, False))
+
+    for idxs, is_tiny in batches:
+        handles = [scene.prim_static[i].mesh for i in idxs]
         n_inst = len(idxs)
-        trs = [prim_transform(scene, i, times) for i in idxs]
-        o_l = jnp.stack([inverse_transform_point(t_, origins) for t_ in trs])
-        d_l = jnp.stack([inverse_transform_vector(t_, dirs) for t_ in trs])
+        tr_b = _prim_transforms_batched(scene, idxs, times)
+        o_l = inverse_transform_point(tr_b, origins[None, :, :])
+        d_l = inverse_transform_vector(tr_b, dirs[None, :, :])
         # already-occluded rays get tmax 0 -> immediate exit in every frame
         tmax_b = jnp.broadcast_to(
             jnp.where(occ, 0.0, tmax)[None, :], (n_inst, r)
         )
-        may_hit = _instance_box_mask(h, o_l, d_l, tmax_b)
+        may_hit = _instance_box_mask(handles, o_l, d_l, tmax_b)
         tm = jnp.where(may_hit, tmax_b, 0.0).reshape(n_inst * r)
+        if is_tiny:
+            noff_b, toff_b = handles[0].node_offset, handles[0].tri_offset
+        else:
+            noff_b = jnp.broadcast_to(
+                jnp.asarray(
+                    _np.asarray([h.node_offset for h in handles], _np.int32)
+                )[:, None],
+                (n_inst, r),
+            ).reshape(-1)
+            toff_b = jnp.broadcast_to(
+                jnp.asarray(
+                    _np.asarray([h.tri_offset for h in handles], _np.int32)
+                )[:, None],
+                (n_inst, r),
+            ).reshape(-1)
         o = intersect_mesh_any(
-            sg(scene.pool), noff, toff, sg(o_l.reshape(n_inst * r, 3)),
-            sg(d_l.reshape(n_inst * r, 3)), sg(tm), num_tris=h.num_tris,
+            sg(scene.pool), noff_b, toff_b, sg(o_l.reshape(n_inst * r, 3)),
+            sg(d_l.reshape(n_inst * r, 3)), sg(tm),
+            num_tris=handles[0].num_tris if is_tiny else None,
         )
         occ = occ | o.reshape(n_inst, r).any(axis=0)
     # saved under the integrator's remat policy (see trace_closest)

@@ -287,3 +287,37 @@ def import_ply(path: str) -> Mesh:
         if (norm[:, 0] > 1e-8).all():
             mesh.normals = (normals / norm).astype(np.float32)
     return mesh
+
+
+def save_ply(path: str, positions: np.ndarray, indices: np.ndarray,
+             normals: np.ndarray | None = None):
+    """Binary little-endian PLY writer (the export-side complement of
+    import_ply; the reference ships only importers + its .bin dump,
+    mesh.cpp:809-880)."""
+    positions = np.asarray(positions, np.float32)
+    indices = np.asarray(indices, np.int32)
+    has_n = normals is not None
+    with open(path, "wb") as f:
+        hdr = ["ply", "format binary_little_endian 1.0",
+               f"element vertex {len(positions)}",
+               "property float x", "property float y", "property float z"]
+        if has_n:
+            hdr += ["property float nx", "property float ny",
+                    "property float nz"]
+        hdr += [f"element face {len(indices)}",
+                "property list uchar int vertex_indices", "end_header"]
+        f.write(("\n".join(hdr) + "\n").encode("ascii"))
+        if has_n:
+            v = np.concatenate(
+                [positions, np.asarray(normals, np.float32)], axis=1
+            )
+        else:
+            v = positions
+        f.write(np.ascontiguousarray(v, "<f4").tobytes())
+        counts = np.full((len(indices), 1), 3, np.uint8)
+        faces = np.ascontiguousarray(indices, "<i4")
+        rows = b"".join(
+            counts[i].tobytes() + faces[i].tobytes()
+            for i in range(len(indices))
+        )
+        f.write(rows)

@@ -258,3 +258,74 @@ def dryrun_scene(width: int = 16, height: int = 16) -> Scene:
     validation on virtual devices."""
     scene = cornell_scene(width=width, height=height, max_depth=2)
     return scene
+
+
+def many_mesh_scene(n_meshes: int = 48, width: int = 128, height: int = 128,
+                    max_depth: int = 2, seed: int = 0) -> Scene:
+    """Sportscar/table-class stress scene: `n_meshes` DISTINCT meshes (no
+    instancing dedup — every primitive owns its own sub-BVH segment), each
+    with its own material, on a floor under a quad light. Exercises the
+    many-primitive scaling path: all mesh primitives trace through ONE
+    batched traversal with vector sub-BVH offsets (render/trace.py), so
+    compile time stays flat in mesh count. Match:
+    /root/reference/data/sportscar.tin, scene.h:138-159."""
+    from .procedural import capsule, sphere, tetrahedron
+
+    rng = np.random.default_rng(seed)
+    scene = Scene()
+    scene.options = Options(width=width, height=height, max_depth=max_depth)
+    scene.camera = Camera(
+        position=np.array([0.0, 3.0, 9.0], np.float32),
+        rotation=np.array([-0.12, 0, 0, 0.993], np.float32),
+        fov=float(np.deg2rad(40)),
+    )
+    scene.sky = Sky(
+        horizon=np.array([0.1, 0.12, 0.15], np.float32),
+        zenith=np.array([0.03, 0.04, 0.08], np.float32),
+    )
+    scene.add_primitive(
+        Primitive(type=PLANE, plane=np.array([0, 1, 0, 0], np.float32))
+    )
+    # quad light overhead
+    scene.add_primitive(
+        Primitive(
+            type=MESH,
+            mesh=quad_mesh(1.5),
+            material=Material(
+                emission=np.array([12.0, 11.0, 9.0], np.float32),
+                color=np.zeros(3, np.float32),
+            ),
+            start_transform=HostTransform(
+                p=np.array([0, 6.0, 0], np.float32)
+            ),
+            light_samples=1,
+        )
+    )
+    side = int(np.ceil(np.sqrt(n_meshes)))
+    for k in range(n_meshes):
+        kind = k % 3
+        # distinct tessellations -> distinct mesh objects and BVHs
+        if kind == 0:
+            m = sphere(1.0, 8 + (k % 5) * 2, 16 + (k % 7) * 2)
+        elif kind == 1:
+            m = capsule(0.5, 0.5, 8 + (k % 4) * 2, 12 + (k % 5) * 2)
+        else:
+            m = tetrahedron(0.0, 1.0 + 0.1 * (k % 4))
+        gx = (k % side) - (side - 1) / 2.0
+        gz = (k // side) - (side - 1) / 2.0
+        scene.add_primitive(
+            Primitive(
+                type=MESH,
+                mesh=m,
+                material=Material(
+                    color=rng.uniform(0.2, 0.9, 3).astype(np.float32),
+                    roughness=float(rng.uniform(0.1, 0.9)),
+                    metallic=float(k % 2),
+                ),
+                start_transform=HostTransform(
+                    p=np.array([1.6 * gx, 0.55, 1.6 * gz], np.float32),
+                    s=0.5,
+                ),
+            )
+        )
+    return scene

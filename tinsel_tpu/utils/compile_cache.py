@@ -1,0 +1,36 @@
+"""Persistent XLA compilation cache.
+
+Scene-graph programs here are large (integrator scan + remat + traversal
+while-loops), and the TPU toolchain compiles them slowly (measured ~6.5 min
+for a 48-mesh scene on the tunneled v5e, independent of mesh count). The
+reference pays nothing here (C++ AOT), so the TPU-native answer is JAX's
+persistent compilation cache: the second process start reuses the compiled
+executable. Enabled by the CLI and bench entry points; opt out with
+TINSEL_NO_COMPILE_CACHE=1.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache(path: str | None = None) -> str | None:
+    """Turn on JAX's persistent compilation cache (idempotent)."""
+    if os.environ.get("TINSEL_NO_COMPILE_CACHE") == "1":
+        return None
+    import jax
+
+    path = path or os.environ.get(
+        "TINSEL_COMPILE_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "tinsel_tpu", "xla"
+        ),
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything that took meaningful compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return path
+    except Exception:
+        return None
