@@ -1,0 +1,102 @@
+"""Multi-chip sharding assertions (8 virtual CPU devices via conftest).
+
+The round-1 dryrun only proved the sharded program runs; these tests
+assert the compute is actually PARTITIONED: per-device shard shapes, the
+presence of GSPMD all-reduces in the compiled HLO, and numerical equality
+with the unsharded computation (a silently-replicated or silently-wrong
+partitioning fails here)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tinsel_tpu.parallel.sharding import (
+    make_mesh,
+    sharded_render_fn,
+    sharded_train_step,
+)
+from tinsel_tpu.render.camera import CameraParams
+from tinsel_tpu.render.renderer import render_pass
+from tinsel_tpu.scene.presets import dryrun_scene
+
+W = H = 16
+OPTS = dict(width=W, height=H, max_depth=2)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    scene = dryrun_scene(width=W, height=H)
+    flat = scene.flatten()
+    cam = CameraParams.from_host(scene.camera)
+    return flat, cam
+
+
+def test_render_rows_are_sharded_across_devices(setup):
+    flat, cam = setup
+    mesh = make_mesh(8, spp_parallel=2)
+    fn = sharded_render_fn(mesh, spp_per_step=2, **OPTS)
+    keys = jax.random.split(jax.random.key(0), 2)
+    out = fn(flat, cam, keys)
+    assert out.shape == (H, W, 4)
+    # output partitioned along rows over the 4-way 'rays' axis
+    shards = out.addressable_shards
+    row_shapes = {s.data.shape for s in shards}
+    assert row_shapes == {(H // 4, W, 4)}, row_shapes
+    devices = {s.device for s in shards}
+    assert len(devices) == 8  # every device holds (a replica of) a shard
+
+
+def test_compiled_hlo_contains_all_reduce(setup):
+    flat, cam = setup
+    mesh = make_mesh(8, spp_parallel=2)
+    step = sharded_train_step(mesh, spp_per_step=2, **OPTS)
+    keys = jax.random.split(jax.random.key(0), 2)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    txt = step.lower(flat, cam, keys, target).compile().as_text()
+    # GSPMD must have inserted cross-device reductions for the spp sum and
+    # the replicated gradient outputs
+    assert "all-reduce" in txt, "no all-reduce: compute was not partitioned"
+
+
+def test_sharded_render_matches_unsharded(setup):
+    flat, cam = setup
+    mesh = make_mesh(8, spp_parallel=2)
+    fn = sharded_render_fn(mesh, spp_per_step=2, **OPTS)
+    keys = jax.random.split(jax.random.key(7), 2)
+    sharded = np.asarray(fn(flat, cam, keys))
+
+    unsharded = np.asarray(
+        sum(render_pass(flat, cam, k, **OPTS) for k in keys)
+    )
+    np.testing.assert_allclose(sharded, unsharded, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_train_step_grads_match_unsharded(setup):
+    flat, cam = setup
+    mesh = make_mesh(8, spp_parallel=2)
+    step = sharded_train_step(mesh, spp_per_step=2, **OPTS)
+    keys = jax.random.split(jax.random.key(3), 2)
+    target = jnp.full((H, W, 3), 0.2, jnp.float32)
+    loss, gm, gc = step(flat, cam, keys, target)
+
+    def loss_fn(materials, camera):
+        s = dataclasses.replace(flat, materials=materials)
+        accum = sum(render_pass(s, camera, k, **OPTS) for k in keys)
+        img = accum[..., :3] / jnp.maximum(accum[..., 3:4], 1e-6)
+        return jnp.mean((img - target) ** 2)
+
+    loss_u, (gm_u, gc_u) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        flat.materials, cam
+    )
+    np.testing.assert_allclose(float(loss), float(loss_u), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gm), jax.tree_util.tree_leaves(gm_u)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
