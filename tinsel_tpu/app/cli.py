@@ -47,6 +47,10 @@ def build_parser():
     p.add_argument("-resume", action="store_true")
     p.add_argument("-convert", default=None, metavar="MESH",
                    help="convert a mesh to the .npz cache format and exit")
+    p.add_argument("-view", action="store_true",
+                   help="interactive progressive viewer (HTTP) — the "
+                   "headless analog of the reference's GLUT loop")
+    p.add_argument("-port", type=int, default=8000)
     p.add_argument("-batch-start", type=int, default=0)
     p.add_argument("-batch-count", type=int, default=1_000_000)
     return p
@@ -190,6 +194,18 @@ def main(argv=None):
         return 0
 
     scene = load_scene(args.scene)
+    if args.view:
+        from .viewer import run_viewer
+
+        o = scene.options
+        for name, val in (("max_samples", args.spp), ("width", args.width),
+                          ("height", args.height), ("exposure", args.exposure),
+                          ("max_depth", args.maxdepth), ("clamp", args.clamp)):
+            if val is not None:
+                setattr(o, name, val)
+        run_viewer(scene, o, seed=args.seed, port=args.port,
+                   nlm_falloff=args.nlm_falloff, nlm_radius=args.nlm_radius)
+        return 0
     out = args.output or os.path.splitext(os.path.basename(args.scene))[0] + ".png"
     render_one(scene, args, out)
     return 0

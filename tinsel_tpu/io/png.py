@@ -31,8 +31,8 @@ def quantize_dithered(img: np.ndarray, rng: np.random.Generator | None = None):
     return q.astype(np.uint8)
 
 
-def write_png(path: str, img: np.ndarray, dither: bool = True):
-    """img: (H, W, 3) or (H, W, 4) float in [0,1] or uint8."""
+def encode_png(img: np.ndarray, dither: bool = True) -> bytes:
+    """img: (H, W, 3) or (H, W, 4) float in [0,1] or uint8 -> PNG bytes."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = quantize_dithered(img.astype(np.float64)) if dither else np.clip(
@@ -50,8 +50,13 @@ def write_png(path: str, img: np.ndarray, dither: bool = True):
     out += _chunk(b"IHDR", ihdr)
     out += _chunk(b"IDAT", zlib.compress(raw, 6))
     out += _chunk(b"IEND", b"")
+    return out
+
+
+def write_png(path: str, img: np.ndarray, dither: bool = True):
+    """img: (H, W, 3) or (H, W, 4) float in [0,1] or uint8."""
     with open(path, "wb") as f:
-        f.write(out)
+        f.write(encode_png(img, dither))
 
 
 def read_png(path: str) -> np.ndarray:
