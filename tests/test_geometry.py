@@ -349,3 +349,77 @@ def test_trace_any_matches_trace_closest():
     expect = np.asarray((hit.prim >= 0) & (hit.t < 0.8))
     got = np.asarray(trace_any(flat, origins, dirs, times, tmax))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_bvh_build_methods_agree():
+    """median/midpoint alternatives (bvh.h:105-150) produce valid trees
+    whose traversal results are identical to SAH's."""
+    from tinsel_tpu.accel.build import build_wide_bvh, validate_wide_bvh
+
+    positions, indices = _random_tri_soup(400, seed=31)
+    lo, hi = triangle_bounds(positions, indices)
+    rng = np.random.default_rng(32)
+    n_rays = 96
+    origins = rng.uniform(-15, 15, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    tmax = jnp.full((n_rays,), np.inf, np.float32)
+
+    results = {}
+    for method in ("sah", "median", "midpoint"):
+        bvh = build_bvh(lo, hi, use_native=False, method=method)
+        assert validate_bvh(bvh, lo, hi), method
+        wide = build_wide_bvh(bvh)
+        assert validate_wide_bvh(wide, lo, hi, 400), method
+        (pool,) = _pool_with_method(positions, indices, method)
+        t, tri, *_ = intersect_mesh(
+            pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax
+        )
+        results[method] = np.asarray(t)
+    for m in ("median", "midpoint"):
+        np.testing.assert_allclose(results[m], results["sah"], rtol=1e-5)
+
+
+def _pool_with_method(positions, indices, method):
+    from tinsel_tpu.accel.build import BLOCK_SIZE, build_wide_bvh
+
+    lo, hi = triangle_bounds(positions, indices)
+    bvh = build_bvh(lo, hi, use_native=False, method=method)
+    wide = build_wide_bvh(bvh)
+    v = positions[indices[wide.perm_padded]]
+    n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    areas = np.where(
+        wide.real_mask,
+        0.5 * np.linalg.norm(
+            np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1
+        ),
+        0.0,
+    )
+    cdf = np.cumsum(areas) / areas.sum()
+
+    comps = [v[:, j, i] for j in range(3) for i in range(3)]
+    n_blocks = v.shape[0] // BLOCK_SIZE
+    blocks = np.zeros((n_blocks, BLOCK_SIZE * 12), np.float32)
+    for g, comp in enumerate(comps):
+        blocks[:, BLOCK_SIZE * g : BLOCK_SIZE * (g + 1)] = comp.reshape(
+            n_blocks, BLOCK_SIZE
+        )
+
+    def planes9(a, b, c):
+        cols = []
+        for arr in (a, b, c):
+            cols.extend(
+                jnp.asarray(np.ascontiguousarray(arr[:, i]), jnp.float32)
+                for i in range(3)
+            )
+        return tuple(cols)
+
+    pool = MeshPool(
+        node_rows=jnp.asarray(wide.node_rows),
+        block_rows=jnp.asarray(blocks),
+        tri_cdf=jnp.asarray(cdf, jnp.float32),
+        tri_planes=planes9(v[:, 0], v[:, 1], v[:, 2]),
+        nrm_planes=planes9(n, n, n),
+    )
+    return (pool,)

@@ -184,3 +184,20 @@ primitive
     img = read_png(out_path)
     assert img.shape == (20, 24, 3)
     assert img.max() > 10  # lit scene, non-black
+
+
+def test_resolve_reinhard_consumes_limit():
+    """options.limit is live through the reinhard tonemap path (the
+    reference's ToneMap carries a dead limit parameter, util.h:25-42)."""
+    import jax.numpy as jnp
+    from tinsel_tpu.core.color import resolve
+
+    accum = jnp.concatenate(
+        [jnp.full((4, 4, 3), 8.0), jnp.ones((4, 4, 1))], axis=-1
+    )
+    lo = np.asarray(resolve(accum, tonemap="reinhard", limit=0.5))
+    hi = np.asarray(resolve(accum, tonemap="reinhard", limit=4.0))
+    assert (hi > lo).all()  # higher shoulder -> brighter highlights
+    film = np.asarray(resolve(accum, tonemap="filmic", limit=0.5))
+    film2 = np.asarray(resolve(accum, tonemap="filmic", limit=4.0))
+    np.testing.assert_array_equal(film, film2)  # filmic ignores limit

@@ -87,18 +87,24 @@ DEFAULT_LEAF_SIZE = 16
 
 def build_bvh(lowers: np.ndarray, uppers: np.ndarray,
               max_items_per_leaf: int = DEFAULT_LEAF_SIZE,
-              use_native: bool = True) -> BVH:
-    """Build a SAH BVH over item AABBs.
+              use_native: bool = True, method: str = "sah") -> BVH:
+    """Build a BVH over item AABBs.
 
     lowers/uppers: (n, 3) float arrays. Returns flat SoA nodes (root at 0).
+    method: "sah" (full-sweep, default, bvh.h:160-211), "median" (split at
+    the item median, bvh.h:137-150) or "midpoint" (split at the spatial
+    midpoint, bvh.h:105-122) — the alternatives the reference keeps
+    switchable for bisection; the native C++ fast path covers SAH only.
     """
     lowers = np.asarray(lowers, np.float32).reshape(-1, 3)
     uppers = np.asarray(uppers, np.float32).reshape(-1, 3)
     n = lowers.shape[0]
     if n == 0:
         raise ValueError("cannot build BVH over zero items")
+    if method not in ("sah", "median", "midpoint"):
+        raise ValueError(f"unknown BVH build method: {method}")
 
-    if use_native and n >= 4096:
+    if use_native and method == "sah" and n >= 4096:
         try:
             from ..native import bvh_native
 
@@ -146,29 +152,39 @@ def build_bvh(lowers: np.ndarray, uppers: np.ndarray,
             out_count[node] = count
             continue
 
-        # longest-axis full SAH sweep
+        # sort by centroid along the longest axis (all three methods)
         axis = int(np.argmax(hi - lo))
         order = np.argsort(centers[idx, axis], kind="stable")
         idx_sorted = idx[order]
         indices[start:end] = idx_sorted
 
-        slo = lowers[idx_sorted]
-        shi = uppers[idx_sorted]
-        # prefix bounds from the left, suffix bounds from the right
-        left_lo = np.minimum.accumulate(slo, axis=0)
-        left_hi = np.maximum.accumulate(shi, axis=0)
-        right_lo = np.minimum.accumulate(slo[::-1], axis=0)[::-1]
-        right_hi = np.maximum.accumulate(shi[::-1], axis=0)[::-1]
-
-        left_area = _surface_area(left_lo, left_hi)
-        right_area = _surface_area(right_lo, right_hi)
-        counts = np.arange(count, dtype=np.float64)
-        # cost of splitting after item i: left has i items, right count-i
-        # (identical objective to the reference sweep)
-        cost = left_area * counts + right_area * (count - counts)
-        split = int(np.argmin(cost)) + 1
-        if split <= 0 or split >= count:
+        if method == "median":
             split = count // 2
+        elif method == "midpoint":
+            mid = 0.5 * (lo[axis] + hi[axis])
+            split = int(np.searchsorted(
+                centers[idx_sorted, axis], mid, side="left"
+            ))
+            if split <= 0 or split >= count:
+                split = count // 2  # degenerate: fall back (bvh.h:246-249)
+        else:  # full SAH sweep
+            slo = lowers[idx_sorted]
+            shi = uppers[idx_sorted]
+            # prefix bounds from the left, suffix bounds from the right
+            left_lo = np.minimum.accumulate(slo, axis=0)
+            left_hi = np.maximum.accumulate(shi, axis=0)
+            right_lo = np.minimum.accumulate(slo[::-1], axis=0)[::-1]
+            right_hi = np.maximum.accumulate(shi[::-1], axis=0)[::-1]
+
+            left_area = _surface_area(left_lo, left_hi)
+            right_area = _surface_area(right_lo, right_hi)
+            counts = np.arange(count, dtype=np.float64)
+            # cost of splitting after item i: left has i items, right
+            # count-i (identical objective to the reference sweep)
+            cost = left_area * counts + right_area * (count - counts)
+            split = int(np.argmin(cost)) + 1
+            if split <= 0 or split >= count:
+                split = count // 2
 
         lchild = alloc()
         rchild = alloc()

@@ -39,6 +39,8 @@ def build_parser():
     )
     p.add_argument("-o", "--output", default=None, help="output PNG path")
     p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-tonemap", choices=["filmic", "reinhard"], default="filmic",
+                   help="display transform; reinhard consumes options.limit")
     p.add_argument("-denoise", action="store_true", help="NLM pass on output")
     p.add_argument("-nlm-falloff", type=float, default=200.0)
     p.add_argument("-nlm-radius", type=int, default=1)
@@ -124,7 +126,8 @@ def render_one(scene, args, out_path: str):
         s += this
         c += 1
         if args.progressive and s % args.progressive == 0 and s < spp:
-            img = np.asarray(resolve(accum, exposure=o.exposure, limit=o.limit))
+            img = np.asarray(resolve(accum, exposure=o.exposure,
+                                     limit=o.limit, tonemap=args.tonemap))
             base, ext = os.path.splitext(out_path)
             write_png(f"{base}_spp{s:05d}{ext or '.png'}", img)
             el = time.perf_counter() - t0
@@ -148,7 +151,8 @@ def render_one(scene, args, out_path: str):
     if o.mode in ("normals", "complexity"):
         img = np.asarray(jnp.clip(accum[..., :3], 0.0, 1.0))
     else:
-        img = resolve(accum, exposure=o.exposure, limit=o.limit)
+        img = resolve(accum, exposure=o.exposure, limit=o.limit,
+                      tonemap=args.tonemap)
         if args.denoise:
             img = nlm_denoise(img, args.nlm_falloff, args.nlm_radius)
         img = np.asarray(img)

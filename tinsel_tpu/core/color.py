@@ -79,10 +79,18 @@ def tonemap_reinhard(c, limit=1.0):
     return c / (1.0 + lum / limit)[..., None]
 
 
-def resolve(accum, exposure=1.0, limit=1.0):
+def resolve(accum, exposure=1.0, limit=1.0, tonemap="filmic"):
     """Resolve an RGBA accumulation buffer (premultiplied color, weight in
-    alpha) to display-ready sRGB in [0,1]. accum: (..., 4)."""
+    alpha) to display-ready sRGB in [0,1]. accum: (..., 4).
+
+    tonemap: "filmic" (Hejl/Burgess, the reference's display chain,
+    util.h:25-42 — its own `limit` parameter is dead there too) or
+    "reinhard", where `limit` sets the luminance shoulder — the path that
+    actually consumes the scene's options.limit."""
     w = jnp.maximum(accum[..., 3:4], 1e-7)
     c = accum[..., :3] * (exposure / w)
-    c = tonemap_filmic(c)
+    if tonemap == "reinhard":
+        c = tonemap_reinhard(c, limit)
+    else:
+        c = tonemap_filmic(c)
     return jnp.clip(linear_to_srgb(c), 0.0, 1.0)

@@ -5,7 +5,16 @@ OBJ with vertex dedup + quad triangulation mesh.cpp:370-591, PLY
 ascii/big/little-endian mesh.cpp:134-289, `.bin` prebuilt cache
 mesh.cpp:809-880). The cache here is an .npz holding positions / normals /
 indices / CDF / flat BVH arrays — same idea as the reference's -convert
-output, in a NumPy-native container.
+output, in a NumPy-native container. A binary PLY writer (save_ply)
+covers the export side.
+
+Deliberate exclusions vs the reference's importer matrix:
+- `.bin` (mesh.cpp:809-880): its role (prebuilt BVH+CDF cache) is covered
+  by the .npz cache, which round-trips the ranged-leaf BVH exactly;
+- `.wo3` (mesh.cpp:1167-1216): a private legacy format of the original
+  author's tooling; no asset in the corpus uses it;
+- `.dae` (COLLADA): the reference ships one DAE asset but no DAE importer
+  either — it parses nothing beyond OBJ/PLY/BIN/WO3 (mesh.cpp:105-132).
 """
 
 from __future__ import annotations
