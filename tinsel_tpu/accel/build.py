@@ -79,9 +79,9 @@ def _surface_area(lower, upper):
     return 2.0 * (e[..., 0] * e[..., 1] + e[..., 0] * e[..., 2] + e[..., 1] * e[..., 2])
 
 
-# Tuned on TPU v5 (524k-tri sphere, dwell traversal): 16 beats 8 by ~1.85x
-# (walk steps dominate; halving node count outweighs the longer dwell) and
-# beats 31 (dwell starts to dominate). Must stay < 2^(31-COUNT_SHIFT).
+# Tuned on TPU v5 (524k-tri sphere): with one-step leaf blocks, 16 beats 8
+# (1.21 vs 1.11 Mrays/s — halving block columns does not pay for the extra
+# walk steps) and matches the block row width in accel/traverse.py.
 DEFAULT_LEAF_SIZE = 16
 
 
