@@ -423,3 +423,21 @@ def _pool_with_method(positions, indices, method):
         nrm_planes=planes9(n, n, n),
     )
     return (pool,)
+
+
+def test_native_wide_collapse_matches_python():
+    """The C++ wide-BVH collapse must be bit-identical to the NumPy one."""
+    from tinsel_tpu.accel.build import build_wide_bvh
+    from tinsel_tpu.scene.procedural import sphere
+
+    m = sphere(1.0, 48, 96)  # ~9k tris: above the native threshold
+    lo, hi = triangle_bounds(m.positions, m.indices)
+    bvh = build_bvh(lo, hi)
+    wp = build_wide_bvh(bvh, use_native=False)
+    wn = build_wide_bvh(bvh, use_native=True)
+    np.testing.assert_array_equal(
+        wp.node_rows.view(np.uint32), wn.node_rows.view(np.uint32)
+    )
+    np.testing.assert_array_equal(wp.perm_padded, wn.perm_padded)
+    np.testing.assert_array_equal(wp.real_mask, wn.real_mask)
+    np.testing.assert_allclose(wp.root_lower, wn.root_lower)

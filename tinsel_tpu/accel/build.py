@@ -351,7 +351,7 @@ class WideBVH:
 BLOCK_SIZE = 16  # triangles per leaf block (== DEFAULT_LEAF_SIZE)
 
 
-def build_wide_bvh(bvh: BVH, k: int = WIDE_K) -> WideBVH:
+def build_wide_bvh(bvh: BVH, k: int = WIDE_K, use_native: bool = True) -> WideBVH:
     """Collapse a binary ranged-leaf BVH into the 4-ary traversal layout.
 
     Each internal node adopts the frontier obtained by expanding its
@@ -359,7 +359,19 @@ def build_wide_bvh(bvh: BVH, k: int = WIDE_K) -> WideBVH:
     entries. Leaves become padded 16-triangle blocks owned by their parent
     row; they have no rows of their own — the traversal kernel processes
     hit leaf children while dwelling at the parent, so leaf "skip" state
-    never needs to be stored (accel/traverse.py)."""
+    never needs to be stored (accel/traverse.py).
+
+    A bit-identical C++ fast path (native/bvh_builder.cpp
+    tinsel_collapse_wide) handles big trees; this NumPy version is the
+    always-available oracle."""
+    if (use_native and k == WIDE_K and bvh.num_nodes >= 4096
+            and bvh.count[0] == 0):
+        try:
+            from ..native.bvh_native import collapse_wide_native
+
+            return collapse_wide_native(bvh, k=k, block_size=BLOCK_SIZE)
+        except Exception:
+            pass  # fall back to the NumPy collapse
     count = bvh.count
     left = bvh.left
     right = bvh.right

@@ -167,4 +167,160 @@ int32_t tinsel_build_bvh(const float* lowers, const float* uppers, int64_t n,
     for (int64_t i = 0; i < n; ++i) out_perm[i] = (int32_t)b.indices[i];
     return b.used;
 }
+
+// ---------------------------------------------------------------- wide (4-ary)
+//
+// Native fast path for accel/build.py::build_wide_bvh — collapses the
+// binary ranged-leaf tree into the 4-ary traversal row layout (bf16-packed
+// child boxes, padded leaf blocks). Must match the NumPy implementation
+// EXACTLY (same frontier-expansion pick, DFS id/block order, skip wiring,
+// bf16 rounding); tests assert bit-equality.
+
+// bf16(hi) rounded up in the high half, bf16(lo) rounded down in the low
+// half (see accel/build.py::_bf16_pack_bounds).
+static uint32_t pack_axis(float lo, float hi) {
+    uint32_t lb, hb;
+    std::memcpy(&lb, &lo, 4);
+    std::memcpy(&hb, &hi, 4);
+    uint32_t lt = lb & 0xFFFF0000u;
+    uint32_t ht = hb & 0xFFFF0000u;
+    float ltf, htf;
+    std::memcpy(&ltf, &lt, 4);
+    std::memcpy(&htf, &ht, 4);
+    if (ltf > lo) lt += 0x10000u;  // only possible when lo < 0
+    if (htf < hi) ht += 0x10000u;  // only possible when hi > 0
+    return ht | (lt >> 16);
+}
+
+// Returns the number of internal wide nodes written, or -1 on error.
+// out_counts[0] = n_internal, out_counts[1] = n_blocks.
+// Capacities: out_rows n_nodes*24 floats; out_perm/out_mask
+// n_nodes*block_size entries (leaves <= binary nodes).
+int64_t tinsel_collapse_wide(
+    const float* lower, const float* upper,  // (N, 3)
+    const int32_t* left, const int32_t* right, const int32_t* count,
+    const int32_t* perm, int64_t n_nodes, int32_t k, int32_t block_size,
+    float* out_rows, int64_t* out_perm, uint8_t* out_mask,
+    int64_t* out_counts) {
+    const int row_w = 24, word_col = 12, skip_col = 16;
+    if (n_nodes <= 0 || count[0] > 0) return -1;  // root-leaf: python path
+
+    auto volume = [&](int32_t c) {
+        double ex = upper[3 * c + 0] - lower[3 * c + 0];
+        double ey = upper[3 * c + 1] - lower[3 * c + 1];
+        double ez = upper[3 * c + 2] - lower[3 * c + 2];
+        ex = ex > 0 ? ex : 0; ey = ey > 0 ? ey : 0; ez = ez > 0 ? ez : 0;
+        return ex * ey * ez;
+    };
+
+    // pass 1: preorder ids + children frontiers (matches python stack pops)
+    std::vector<int32_t> internal_id(n_nodes, -1);
+    std::vector<int32_t> order;            // binary ids in id order
+    std::vector<std::vector<int32_t>> kids;
+    std::vector<int32_t> stack = {0};
+    while (!stack.empty()) {
+        int32_t b = stack.back();
+        stack.pop_back();
+        internal_id[b] = (int32_t)order.size();
+        order.push_back(b);
+        std::vector<int32_t> front = {left[b], right[b]};
+        while ((int32_t)front.size() < k) {
+            int pick = -1;
+            double best = -1.0;
+            for (size_t j = 0; j < front.size(); ++j) {
+                if (count[front[j]] == 0) {
+                    double v = volume(front[j]) + 1e-30;
+                    if (v > best) { best = v; pick = (int)j; }
+                }
+            }
+            if (pick < 0) break;
+            int32_t c = front[pick];
+            front.erase(front.begin() + pick);
+            front.insert(front.begin() + pick, right[c]);
+            front.insert(front.begin() + pick, left[c]);
+        }
+        kids.push_back(front);
+        for (auto it = front.rbegin(); it != front.rend(); ++it)
+            if (count[*it] == 0) stack.push_back(*it);
+    }
+    int64_t n_int = (int64_t)order.size();
+
+    // forward-DFS block ids
+    std::vector<int32_t> block_id(n_nodes, -1);
+    int64_t n_blocks = 0;
+    {
+        std::vector<std::pair<int32_t, size_t>> st = {{0, 0}};
+        while (!st.empty()) {
+            auto& top = st.back();
+            const auto& ch = kids[internal_id[top.first]];
+            if (top.second == ch.size()) { st.pop_back(); continue; }
+            int32_t c = ch[top.second++];
+            if (count[c] > 0) block_id[c] = (int32_t)n_blocks++;
+            else st.push_back({c, 0});
+        }
+    }
+
+    // skip links over internal nodes
+    std::vector<int32_t> skip(n_nodes, -1);
+    stack = {0};
+    while (!stack.empty()) {
+        int32_t b = stack.back();
+        stack.pop_back();
+        int32_t esc = skip[b];
+        const auto& ch = kids[internal_id[b]];
+        std::vector<int32_t> internals;
+        for (int32_t c : ch)
+            if (count[c] == 0) internals.push_back(c);
+        for (size_t j = 0; j < internals.size(); ++j)
+            skip[internals[j]] =
+                j + 1 < internals.size() ? internals[j + 1] : esc;
+        for (int32_t c : internals) stack.push_back(c);
+    }
+
+    // emit rows + padded permutation
+    const uint32_t NANP = 0x7FC07FC0u;
+    for (int64_t oi = 0; oi < n_int; ++oi) {
+        int32_t b = order[oi];
+        float* row = out_rows + oi * row_w;
+        std::memset(row, 0, row_w * sizeof(float));
+        const auto& ch = kids[oi];
+        int32_t words[8] = {0};
+        for (int32_t ci = 0; ci < k; ++ci) {
+            if (ci < (int32_t)ch.size()) {
+                int32_t c = ch[ci];
+                for (int a = 0; a < 3; ++a) {
+                    uint32_t p = pack_axis(lower[3 * c + a], upper[3 * c + a]);
+                    std::memcpy(row + 3 * ci + a, &p, 4);
+                }
+                if (count[c] > 0) {
+                    int32_t blk = block_id[c];
+                    words[ci] = ~blk;
+                    int64_t s0 = (int64_t)block_size * blk;
+                    int32_t n_real = count[c];
+                    for (int32_t t = 0; t < n_real; ++t) {
+                        out_perm[s0 + t] = perm[left[c] + t];
+                        out_mask[s0 + t] = 1;
+                    }
+                    for (int32_t t = n_real; t < block_size; ++t) {
+                        out_perm[s0 + t] = perm[left[c] + n_real - 1];
+                        out_mask[s0 + t] = 0;
+                    }
+                } else {
+                    words[ci] = internal_id[c];
+                }
+            } else {
+                for (int a = 0; a < 3; ++a)
+                    std::memcpy(row + 3 * ci + a, &NANP, 4);
+            }
+        }
+        std::memcpy(row + word_col, words, k * sizeof(int32_t));
+        int32_t esc = skip[b];
+        int32_t esc_id = esc == -1 ? -1 : internal_id[esc];
+        std::memcpy(row + skip_col, &esc_id, sizeof(int32_t));
+    }
+    out_counts[0] = n_int;
+    out_counts[1] = n_blocks;
+    return n_int;
+}
+
 }

@@ -96,3 +96,58 @@ def build_bvh_native(lowers: np.ndarray, uppers: np.ndarray, leaf_size: int = 8)
         count=out_count[:used].copy(),
         perm=out_perm,
     )
+
+
+def collapse_wide_native(bvh, k: int = 4, block_size: int = 16):
+    """Native fast path for accel.build.build_wide_bvh (bit-identical to
+    the NumPy collapse; ~20x faster on a 524k-tri tree). Returns a WideBVH
+    or raises on unsupported input (root-leaf trees use the Python path)."""
+    from ..accel.build import NODE_ROW_WIDTH, WideBVH
+
+    lib = _ensure_lib()
+    if not hasattr(lib, "tinsel_collapse_wide"):
+        lib.tinsel_collapse_wide.restype = ctypes.c_int64
+    lib.tinsel_collapse_wide.restype = ctypes.c_int64
+    lib.tinsel_collapse_wide.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+    ]
+
+    n = bvh.num_nodes
+    lower = np.ascontiguousarray(bvh.lower, np.float32)
+    upper = np.ascontiguousarray(bvh.upper, np.float32)
+    left = np.ascontiguousarray(bvh.left, np.int32)
+    right = np.ascontiguousarray(bvh.right, np.int32)
+    count = np.ascontiguousarray(bvh.count, np.int32)
+    perm = np.ascontiguousarray(bvh.perm, np.int32)
+
+    out_rows = np.zeros((n, NODE_ROW_WIDTH), np.float32)
+    out_perm = np.zeros(n * block_size, np.int64)
+    out_mask = np.zeros(n * block_size, np.uint8)
+    out_counts = np.zeros(2, np.int64)
+
+    fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    rc = lib.tinsel_collapse_wide(
+        fptr(lower), fptr(upper), iptr(left), iptr(right), iptr(count),
+        iptr(perm), ctypes.c_int64(n), ctypes.c_int32(k),
+        ctypes.c_int32(block_size),
+        fptr(out_rows),
+        out_perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc <= 0:
+        raise RuntimeError("native wide collapse failed")
+    n_int, n_blocks = int(out_counts[0]), int(out_counts[1])
+    return WideBVH(
+        node_rows=out_rows[:n_int].copy(),
+        perm_padded=out_perm[: n_blocks * block_size].copy(),
+        real_mask=out_mask[: n_blocks * block_size].astype(bool),
+        root_lower=lower[0].copy(),
+        root_upper=upper[0].copy(),
+    )
