@@ -33,6 +33,11 @@ def build_parser():
         "-mode", choices=["pathtrace", "normals", "complexity"], default=None
     )
     p.add_argument(
+        "-sampler", choices=["random", "stratified"], default=None,
+        help="pixel/shutter sampler; stratified wires the QMC kit the "
+        "reference ships disabled (sampler.h:6-45)",
+    )
+    p.add_argument(
         "-progressive", type=int, default=0, metavar="N",
         help="write a preview PNG every N spp (headless analog of the "
         "reference's progressive GLUT viewer, main.cpp:242-258)",
@@ -94,6 +99,8 @@ def render_one(scene, args, out_path: str):
         o.clamp = args.clamp
     if args.mode is not None:
         o.mode = args.mode
+    if args.sampler is not None:
+        o.sampler = args.sampler
 
     flat = scene.flatten()
     cam = CameraParams.from_host(scene.camera)

@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.math import clamp_length, lerp
 from ..scene.model import Options, SceneFlat
@@ -36,16 +37,41 @@ from .integrator import (
 )
 
 
-def _sample_grid(width: int, height: int, cam: CameraParams, key, spp: int = 1):
-    """Jittered raster positions + shutter times: (S, H, W) arrays."""
+def _sample_grid(width: int, height: int, cam: CameraParams, key, spp: int = 1,
+                 sampler: str = "random"):
+    """Raster positions + shutter times: (S, H, W) arrays.
+
+    sampler="random" draws plain uniform jitter (exact parity with the
+    reference's active path, sampler.h:235-289 USE_RANDOM 1).
+    sampler="stratified" jitters within an s1 x s2 sub-pixel grid across
+    the pass's spp samples (the reference's StratifiedSample2D,
+    sampler.h:6-45, which it ships but never enables) — a genuine variance
+    reduction at equal spp."""
     kx = jax.random.fold_in(key, 0)
     kt = jax.random.fold_in(key, 1)
     jitter = jax.random.uniform(kx, (spp, height, width, 2))
+    if sampler == "stratified" and spp > 1:
+        # factor spp into the most-square s1 x s2 stratum grid
+        s1 = int(np.sqrt(spp))
+        while spp % s1:
+            s1 -= 1
+        s2 = spp // s1
+        sx = (jnp.arange(spp, dtype=jnp.float32) % s1)[:, None, None]
+        sy = (jnp.arange(spp, dtype=jnp.float32) // s1)[:, None, None]
+        jx = (sx + jitter[..., 0]) / s1
+        jy = (sy + jitter[..., 1]) / s2
+    else:
+        jx = jitter[..., 0]
+        jy = jitter[..., 1]
     xs = jnp.arange(width, dtype=jnp.float32)[None, None, :]
     ys = jnp.arange(height, dtype=jnp.float32)[None, :, None]
-    rx = xs + jitter[..., 0]
-    ry = ys + jitter[..., 1]
+    rx = xs + jx
+    ry = ys + jy
     tu = jax.random.uniform(kt, (spp, height, width))
+    # shutter time stratified over the pass like the reference wavefront
+    # (wavefront.cu:1135-1138) when stratification is on
+    if sampler == "stratified" and spp > 1:
+        tu = (jnp.arange(spp, dtype=jnp.float32)[:, None, None] + tu) / spp
     times = lerp(cam.shutter_start, cam.shutter_end, tu)
     return rx, ry, times
 
@@ -65,10 +91,11 @@ def render_pass(
     filter_falloff: float = 1.0,
     mode: str = "pathtrace",
     backend: str = "scan",
+    sampler: str = "random",
 ):
     """One pass of `samples_per_pass` spp -> (H, W, 4) RGBA increment."""
     s = samples_per_pass
-    rx, ry, times = _sample_grid(width, height, cam, key, s)
+    rx, ry, times = _sample_grid(width, height, cam, key, s, sampler)
     raster = jnp.stack([rx, ry], axis=-1).reshape(-1, 2)
     origins, dirs = generate_rays(cam, width, height, raster)
     times_flat = times.reshape(-1)
@@ -112,6 +139,7 @@ def make_render_pass(options: Options, samples_per_pass: int = 1):
         filter_falloff=options.filter_falloff,
         mode=options.mode,
         backend=options.backend,
+        sampler=getattr(options, "sampler", "random"),
     )
 
 

@@ -240,6 +240,9 @@ class Options:
     filter_falloff: float = 1.0
     mode: str = "pathtrace"  # "pathtrace" | "normals" | "complexity"
     backend: str = "scan"  # "scan" (differentiable) | "while" (megakernel)
+    sampler: str = "random"  # "random" (reference-active parity,
+    # sampler.h:235 USE_RANDOM 1) | "stratified" (wires the QMC kit the
+    # reference left dead behind its compile-time switch)
 
 
 # --------------------------------------------------------------------- device
