@@ -235,6 +235,12 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
             toff_b = jnp.broadcast_to(
                 jnp.asarray(toff_t)[:, None], (n_inst, r)
             ).reshape(-1)
+        # NOTE measured-and-rejected: argsort-compacting the culled
+        # (instance, ray) pairs before tiling (1.23 vs 1.45 spp/s on the
+        # 16-instance scene — two 1M-lane argsorts + permutes cost more
+        # than the dead tiles they remove), and growing tiles to bound the
+        # serial tile count (0.38 spp/s — per-lane cost rises with tile
+        # size). The plain batched call with the root-box cull stands.
         t_f, tri_f, *_ = intersect_mesh(
             sg(scene.pool), noff_b, toff_b,
             sg(o_l.reshape(n_inst * r, 3)), sg(d_l.reshape(n_inst * r, 3)),
@@ -359,11 +365,11 @@ def trace_any(scene: SceneFlat, origins, dirs, times, tmax) -> jax.Array:
                 )[:, None],
                 (n_inst, r),
             ).reshape(-1)
-        o = intersect_mesh_any(
+        oc = intersect_mesh_any(
             sg(scene.pool), noff_b, toff_b, sg(o_l.reshape(n_inst * r, 3)),
             sg(d_l.reshape(n_inst * r, 3)), sg(tm),
             num_tris=handles[0].num_tris if is_tiny else None,
         )
-        occ = occ | o.reshape(n_inst, r).any(axis=0)
+        occ = occ | oc.reshape(n_inst, r).any(axis=0)
     # saved under the integrator's remat policy (see trace_closest)
     return checkpoint_name(occ, "hit")
