@@ -247,6 +247,10 @@ def _block_test(pool, block_base, blk_local, dwell, o, d, best_t):
     """Gather one padded 16-tri leaf block per ray and test all triangles.
     Returns (found, t_min, tri_local) where tri_local indexes padded order."""
     brow = pool.block_rows[block_base + jnp.where(dwell, blk_local, 0)]
+    return _block_test_row(brow, blk_local, dwell, o, d, best_t)
+
+
+def _block_test_row(brow, blk_local, dwell, o, d, best_t):
     ob = tuple(c[:, None] for c in o)
     db = tuple(c[:, None] for c in d)
     B = BLOCK_SIZE
@@ -262,13 +266,37 @@ def _block_test(pool, block_base, blk_local, dwell, o, d, best_t):
     return found, t_min, tri_local
 
 
-def _step(pool, node_offset, block_base, o, d, rd, cur, lc, best_t, best_tri):
-    """One lockstep traversal step (see module docstring)."""
+def _step(pool, node_offset, block_base, o, d, rd, cur, lc, pend, best_t,
+          best_tri):
+    """One lockstep traversal step with a DEFERRED leaf-block test.
+
+    The step-k node gather (indexed by `cur`) and the step-k block gather
+    (indexed by `pend`, the leaf block found at step k-1) both depend only
+    on the carry, so the memory system overlaps them — measured 19.7 ->
+    12.5 us/iter at 4096 lanes vs chaining them in one step
+    (benchmarks/microbench_r3_gatherdep.py). The deferral costs one extra
+    flush iteration per ray and a one-step-stale best_t in the child prune
+    (visits never drop a closer hit: best_t only shrinks), and preserves
+    block visit ORDER, so results are bit-identical to the chained walk.
+    """
     live = cur >= 0
-    row = pool.node_rows[node_offset + jnp.maximum(cur, 0)]  # (R, 32)
+    row = pool.node_rows[node_offset + jnp.maximum(cur, 0)]  # gather 1
+    has_pend = pend >= 0
+    brow = pool.block_rows[
+        block_base + jnp.where(has_pend, pend, 0)
+    ]  # gather 2 — independent of gather 1
+
+    # test the block found LAST step; its best_t tighten lands before the
+    # child prune below (elementwise, does not re-serialize the gathers)
+    found, t_min, tri_local = _block_test_row(
+        brow, pend, has_pend, o, d, best_t
+    )
+    best_t = jnp.where(found, t_min, best_t)
+    best_tri = jnp.where(found, tri_local, best_tri)
+
     ok, words, skip = _child_tests(row, o, rd, best_t, live)
 
-    # smallest hit-leaf child slot >= lc (the dwell candidate)
+    # smallest hit-leaf child slot >= lc (the next pending block)
     s = jnp.full_like(cur, 4)
     w_s = jnp.zeros_like(cur)
     for c in range(3, -1, -1):
@@ -276,13 +304,7 @@ def _step(pool, node_offset, block_base, o, d, rd, cur, lc, best_t, best_tri):
         s = jnp.where(cand, jnp.int32(c), s)
         w_s = jnp.where(cand, words[c], w_s)
     dwell = live & (s < 4)
-    blk_local = -w_s - 1  # ~word
-
-    found, t_min, tri_local = _block_test(
-        pool, block_base, blk_local, dwell, o, d, best_t
-    )
-    best_t = jnp.where(found, t_min, best_t)
-    best_tri = jnp.where(found, tri_local, best_tri)
+    pend = jnp.where(dwell, -w_s - 1, jnp.int32(-1))  # ~word
 
     # advance: first hit internal child, else skip
     nxt = skip
@@ -290,7 +312,7 @@ def _step(pool, node_offset, block_base, o, d, rd, cur, lc, best_t, best_tri):
         nxt = jnp.where(ok[c] & (words[c] >= 0), words[c], nxt)
     cur = jnp.where(live, jnp.where(dwell, cur, nxt), cur)
     lc = jnp.where(dwell, s + 1, 0)
-    return cur, lc, best_t, best_tri
+    return cur, lc, pend, best_t, best_tri
 
 
 def _traverse_tile(pool, node_offset, tri_offset, o, d, state, cap=None,
@@ -301,50 +323,53 @@ def _traverse_tile(pool, node_offset, tri_offset, o, d, state, cap=None,
     rd = _safe_rcp3(d)
     block_base = tri_offset // BLOCK_SIZE
 
+    # a lane is unfinished while it has a node to visit OR a block to flush
     if cap is None:
         def cond(s):
-            return jnp.any(s[0] >= 0)
+            return jnp.any((s[0] >= 0) | (s[2] >= 0))
     else:
         def cond(s):
-            return jnp.any(s[0] >= 0) & (s[-1 if not with_steps else -2] < cap)
+            return jnp.any((s[0] >= 0) | (s[2] >= 0)) & (
+                s[_N_CORE if not with_steps else _N_CORE + 1] < cap
+            )
 
     # iteration counter only needed for the cap
     use_counter = cap is not None
 
     def body(s):
-        if with_steps and use_counter:
-            cur, lc, best_t, best_tri, it, steps = s
-        elif with_steps:
-            cur, lc, best_t, best_tri, steps = s
-        elif use_counter:
-            cur, lc, best_t, best_tri, it = s
-        else:
-            cur, lc, best_t, best_tri = s
-        live = cur >= 0
-        cur, lc, best_t, best_tri = _step(
-            pool, node_offset, block_base, o, d, rd, cur, lc, best_t, best_tri
+        cur, lc, pend, best_t, best_tri = s[:_N_CORE]
+        rest = s[_N_CORE:]
+        live = (cur >= 0) | (pend >= 0)
+        cur, lc, pend, best_t, best_tri = _step(
+            pool, node_offset, block_base, o, d, rd, cur, lc, pend, best_t,
+            best_tri,
         )
-        out = (cur, lc, best_t, best_tri)
-        if use_counter:
-            out = out + (it + 1,)
+        out = (cur, lc, pend, best_t, best_tri)
         if with_steps:
-            out = out + (steps + live.astype(jnp.float32),)
+            out = out + (rest[0] + live.astype(jnp.float32),)
+            rest = rest[1:]
+        if use_counter:
+            out = out + (rest[0] + 1,)
         return out
 
     init = state
     if use_counter:
-        init = state[:4] + (jnp.int32(0),) + state[4:]
+        init = state + (jnp.int32(0),)
 
     out = jax.lax.while_loop(cond, body, init)
     if use_counter:
-        out = out[:4] + out[5:]
+        out = out[:-1]
     return out
+
+
+_N_CORE = 5  # (cur, lc, pend, best_t, best_tri)
 
 
 def _init_state(r, tmax, with_steps=False):
     st = (
         jnp.zeros((r,), jnp.int32),  # cur
         jnp.zeros((r,), jnp.int32),  # lc
+        jnp.full((r,), -1, jnp.int32),  # pend (deferred leaf block, -1=none)
         jnp.asarray(tmax, jnp.float32),  # best_t
         jnp.full((r,), -1, jnp.int32),  # best_tri
     )
@@ -424,7 +449,7 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
         out = _traverse_tile(
             pool, node_offset, tri_offset, o, d, state, None, with_steps
         )
-        return out[2:4] + out[4:]
+        return out[3:5] + out[5:]
 
     # phase 1: capped
     st1 = _map_tiles(
@@ -432,7 +457,7 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
         with_steps,
     )
     # compact unfinished rays to the front (stable: preserves coherence)
-    finished = st1[0] < 0
+    finished = (st1[0] < 0) & (st1[2] < 0)
     perm = jnp.argsort(finished.astype(jnp.int8), stable=True)
     o2 = tuple(c[perm] for c in o)
     d2 = tuple(c[perm] for c in d)
@@ -444,7 +469,7 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
     )
     inv = jnp.argsort(perm)
     out = tuple(jnp.take(x, inv) for x in out)
-    return out[2:4] + out[4:]
+    return out[3:5] + out[5:]
 
 
 def _refit_hit(pool: MeshPool, tri_offset, origins, dirs, best_tri, best_t):
@@ -499,18 +524,28 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax):
     state = (
         jnp.zeros((r,), jnp.int32),  # cur
         jnp.zeros((r,), jnp.int32),  # lc
+        jnp.full((r,), -1, jnp.int32),  # pend (deferred leaf block)
         jnp.zeros((r,), jnp.bool_),  # occluded
     )
     tmax = jnp.asarray(tmax, jnp.float32)
 
     def cond(s):
-        return jnp.any(s[0] >= 0)
+        return jnp.any((s[0] >= 0) | (s[2] >= 0))
 
     def body(s):
-        cur, lc, occ = s
+        cur, lc, pend, occ = s
         live = cur >= 0
         row = pool.node_rows[node_offset + jnp.maximum(cur, 0)]
-        ok, words, skip = _child_tests(row, o, rd, tmax, live)
+        has_pend = pend >= 0
+        brow = pool.block_rows[
+            block_base + jnp.where(has_pend, pend, 0)
+        ]  # independent of the node gather: both index only the carry
+
+        found, _, _ = _block_test_row(brow, pend, has_pend, o, d, tmax)
+        occ = occ | found
+
+        act = live & ~occ  # occluded lanes stop walking immediately
+        ok, words, skip = _child_tests(row, o, rd, tmax, act)
 
         s_slot = jnp.full_like(cur, 4)
         w_s = jnp.zeros_like(cur)
@@ -518,25 +553,20 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax):
             cand = ok[c] & (words[c] < 0) & (lc <= c)
             s_slot = jnp.where(cand, jnp.int32(c), s_slot)
             w_s = jnp.where(cand, words[c], w_s)
-        dwell = live & (s_slot < 4)
-        blk_local = -w_s - 1
-
-        found, _, _ = _block_test(
-            pool, block_base, blk_local, dwell, o, d, tmax
-        )
-        occ = occ | found
+        dwell = act & (s_slot < 4)
+        pend = jnp.where(dwell, -w_s - 1, jnp.int32(-1))
 
         nxt = skip
         for c in range(3, -1, -1):
             nxt = jnp.where(ok[c] & (words[c] >= 0), words[c], nxt)
-        nxt = jnp.where(found, jnp.int32(-1), nxt)  # early exit on hit
         cur = jnp.where(
-            live, jnp.where(dwell & ~found, cur, nxt), cur
+            live, jnp.where(occ, jnp.int32(-1), jnp.where(dwell, cur, nxt)),
+            cur,
         )
-        lc = jnp.where(dwell & ~found, s_slot + 1, 0)
-        return cur, lc, occ
+        lc = jnp.where(dwell, s_slot + 1, 0)
+        return cur, lc, pend, occ
 
-    return jax.lax.while_loop(cond, body, state)[2]
+    return jax.lax.while_loop(cond, body, state)[3]
 
 
 def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
