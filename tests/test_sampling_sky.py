@@ -184,3 +184,53 @@ def test_stratified_sampler_reduces_variance():
     var_r = imgs_r.var(axis=0).mean()
     var_s = imgs_s.var(axis=0).mean()
     assert var_s < var_r, (var_s, var_r)
+
+
+def test_bluenoise_sampler_grid():
+    """sampler='bluenoise' (sampler.h:80-131 + 216-226 wired): each pixel's
+    spp sub-pixel positions are one shared blue-noise set under a per-pixel
+    toroidal shift — within-pixel min distance beats random jitter, and the
+    set is identical across pixels modulo the shift."""
+    import jax
+    from tinsel_tpu.render.camera import CameraParams
+    from tinsel_tpu.render.renderer import _sample_grid
+    from tinsel_tpu.scene.model import Camera
+
+    cam = CameraParams.from_host(Camera())
+    spp, h, w = 16, 4, 5
+    rx, ry, times = _sample_grid(w, h, cam, jax.random.key(7), spp,
+                                 "bluenoise")
+    assert rx.shape == (spp, h, w)
+    jx = np.asarray(rx) - np.arange(w)[None, None, :]
+    jy = np.asarray(ry) - np.arange(h)[None, :, None]
+    assert (jx >= 0).all() and (jx <= 1).all()  # <=: f32 re-rounding at 1.0
+    assert (jy >= 0).all() and (jy <= 1).all()
+
+    def min_tor_dist(px, py):
+        d = np.inf
+        for i in range(spp):
+            dx = np.abs(px - px[i])
+            dy = np.abs(py - py[i])
+            dx = np.minimum(dx, 1 - dx)
+            dy = np.minimum(dy, 1 - dy)
+            r2 = dx * dx + dy * dy
+            r2[i] = np.inf
+            d = min(d, r2.min())
+        return np.sqrt(d)
+
+    # blue noise: min-distance well above the random-jitter expectation
+    d_bn = np.mean([min_tor_dist(jx[:, y, x], jy[:, y, x])
+                    for y in range(h) for x in range(w)])
+    rng = np.random.default_rng(0)
+    d_rand = np.mean([min_tor_dist(rng.random(spp), rng.random(spp))
+                      for _ in range(h * w)])
+    assert d_bn > 2.0 * d_rand, (d_bn, d_rand)
+
+    # same underlying set across pixels: pairwise toroidal deltas match
+    def deltas(px, py):
+        d = np.stack([(px - px[0]) % 1.0, (py - py[0]) % 1.0], -1)
+        return np.sort(d, axis=0)
+
+    ref = deltas(jx[:, 0, 0], jy[:, 0, 0])
+    other = deltas(jx[:, 2, 3], jy[:, 2, 3])
+    np.testing.assert_allclose(ref, other, atol=1e-5)

@@ -33,9 +33,10 @@ def build_parser():
         "-mode", choices=["pathtrace", "normals", "complexity"], default=None
     )
     p.add_argument(
-        "-sampler", choices=["random", "stratified"], default=None,
-        help="pixel/shutter sampler; stratified wires the QMC kit the "
-        "reference ships disabled (sampler.h:6-45)",
+        "-sampler", choices=["random", "stratified", "bluenoise"],
+        default=None,
+        help="pixel/shutter sampler; stratified/bluenoise wire the QMC kit "
+        "the reference ships disabled (sampler.h:6-45, 80-131)",
     )
     p.add_argument(
         "-progressive", type=int, default=0, metavar="N",

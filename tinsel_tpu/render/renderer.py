@@ -46,10 +46,22 @@ def _sample_grid(width: int, height: int, cam: CameraParams, key, spp: int = 1,
     sampler="stratified" jitters within an s1 x s2 sub-pixel grid across
     the pass's spp samples (the reference's StratifiedSample2D,
     sampler.h:6-45, which it ships but never enables) — a genuine variance
-    reduction at equal spp."""
+    reduction at equal spp.
+    sampler="bluenoise" distributes the pass's spp sub-pixel positions as
+    one best-candidate blue-noise point set (sampler.h:80-131), shared
+    across pixels and decorrelated per pixel by a Cranley-Patterson
+    toroidal shift (sampler.h:216-226) — wiring the generator the
+    reference ships dead behind USE_RANDOM 1."""
     kx = jax.random.fold_in(key, 0)
     kt = jax.random.fold_in(key, 1)
-    jitter = jax.random.uniform(kx, (spp, height, width, 2))
+    if sampler == "bluenoise" and spp > 1:
+        from ..core.sampling import best_candidate_2d
+
+        pts = best_candidate_2d(spp, jax.random.fold_in(key, 3))  # (spp, 2)
+        shift = jax.random.uniform(kx, (1, height, width, 2))
+        jitter = (pts[:, None, None, :] + shift) % 1.0
+    else:
+        jitter = jax.random.uniform(kx, (spp, height, width, 2))
     if sampler == "stratified" and spp > 1:
         # factor spp into the most-square s1 x s2 stratum grid
         s1 = int(np.sqrt(spp))
@@ -69,9 +81,14 @@ def _sample_grid(width: int, height: int, cam: CameraParams, key, spp: int = 1,
     ry = ys + jy
     tu = jax.random.uniform(kt, (spp, height, width))
     # shutter time stratified over the pass like the reference wavefront
-    # (wavefront.cu:1135-1138) when stratification is on
+    # (wavefront.cu:1135-1138) when stratification is on; blue noise uses a
+    # per-pixel toroidal shift of one stratified 1-D set
     if sampler == "stratified" and spp > 1:
         tu = (jnp.arange(spp, dtype=jnp.float32)[:, None, None] + tu) / spp
+    elif sampler == "bluenoise" and spp > 1:
+        tshift = jax.random.uniform(kt, (1, height, width))
+        tu = ((jnp.arange(spp, dtype=jnp.float32)[:, None, None] + 0.5) / spp
+              + tshift) % 1.0
     times = lerp(cam.shutter_start, cam.shutter_end, tu)
     return rx, ry, times
 

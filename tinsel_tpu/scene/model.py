@@ -241,8 +241,8 @@ class Options:
     mode: str = "pathtrace"  # "pathtrace" | "normals" | "complexity"
     backend: str = "scan"  # "scan" (differentiable) | "while" (megakernel)
     sampler: str = "random"  # "random" (reference-active parity,
-    # sampler.h:235 USE_RANDOM 1) | "stratified" (wires the QMC kit the
-    # reference left dead behind its compile-time switch)
+    # sampler.h:235 USE_RANDOM 1) | "stratified" | "bluenoise" (wire the
+    # QMC kit the reference left dead behind its compile-time switch)
 
 
 # --------------------------------------------------------------------- device
