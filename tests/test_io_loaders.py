@@ -109,6 +109,27 @@ def test_import_reference_obj():
     assert np.allclose(np.linalg.norm(mesh.normals, axis=-1), 1.0, atol=1e-3)
 
 
+def test_wo3_roundtrip(tmp_path):
+    """.wo3 import (mesh.cpp:1167-1216): stored normals kept, coordinates
+    NOT unit-box normalized (the reference's dispatch skips Normalize and
+    CalculateNormals for wo3, mesh.cpp:120-126)."""
+    from tinsel_tpu.scene.loaders.mesh_io import import_mesh, save_wo3
+    from tinsel_tpu.scene.procedural import sphere
+
+    src = sphere(radius=3.0, n_theta=12, n_phi=12)
+    src.build()
+    path = str(tmp_path / "ball.wo3")
+    save_wo3(path, src.positions, src.indices, src.normals)
+
+    mesh = import_mesh(path, cache=False)
+    np.testing.assert_allclose(mesh.positions, src.positions, atol=1e-6)
+    np.testing.assert_array_equal(mesh.indices, src.indices)
+    np.testing.assert_allclose(mesh.normals, src.normals, atol=1e-5)
+    # radius 3 preserved: no normalization happened
+    assert np.linalg.norm(mesh.positions, axis=-1).max() > 2.5
+    assert mesh.bvh is not None and mesh.area > 0
+
+
 def test_mesh_cache_roundtrip(tmp_path):
     """The round-1 cache bug dropped the ranged-leaf BVH's count/perm and
     silently rebuilt a corrupt tree on load — so this test must prove the

@@ -8,11 +8,14 @@ indices / CDF / flat BVH arrays — same idea as the reference's -convert
 output, in a NumPy-native container. A binary PLY writer (save_ply)
 covers the export side.
 
+Also reads `.wo3` (mesh.cpp:1167-1216): flat little-endian dump of
+{pos, normal, uv} vertices and {i, j, k, mat} triangles; per the
+reference's dispatch (mesh.cpp:105-132) wo3 meshes keep their stored
+normals and are NOT unit-box normalized.
+
 Deliberate exclusions vs the reference's importer matrix:
 - `.bin` (mesh.cpp:809-880): its role (prebuilt BVH+CDF cache) is covered
   by the .npz cache, which round-trips the ranged-leaf BVH exactly;
-- `.wo3` (mesh.cpp:1167-1216): a private legacy format of the original
-  author's tooling; no asset in the corpus uses it;
 - `.dae` (COLLADA): the reference ships one DAE asset but no DAE importer
   either — it parses nothing beyond OBJ/PLY/BIN/WO3 (mesh.cpp:105-132).
 """
@@ -72,14 +75,18 @@ def import_mesh(path: str, cache: bool = True) -> Mesh:
         mesh = import_obj(path)
     elif ext == ".ply":
         mesh = import_ply(path)
+    elif ext == ".wo3":
+        mesh = import_wo3(path)
     elif ext == ".npz":
         return load_mesh_cache(path)
     else:
         raise ValueError(f"unsupported mesh format: {path}")
     # scene-file transforms assume unit meshes: imported OBJ/PLY are
     # normalized to the unit box exactly like the reference
-    # (mesh.cpp:105-132 ImportMesh -> Normalize before BVH build)
-    mesh.normalize()
+    # (mesh.cpp:105-132 ImportMesh -> Normalize before BVH build);
+    # wo3 keeps its stored coordinates and normals (same dispatch)
+    if ext != ".wo3":
+        mesh.normalize()
     mesh.build()
     dt = (time.perf_counter() - t0) * 1000.0
     print(f"Imported mesh {path} ({len(mesh.indices)} tris) in {dt:.1f}ms")
@@ -200,6 +207,60 @@ def import_obj(path: str) -> Mesh:
         if not ok.all():
             mesh.normals = None  # partial normals: recompute all
     return mesh
+
+
+# ------------------------------------------------------------------------ WO3
+
+
+def import_wo3(path: str) -> Mesh:
+    """Binary .wo3 (mesh.cpp:1167-1216): u64 vertex count, then packed
+    {Vec3 pos, Vec3 normal, Vec2 uv} records (32 B), u64 triangle count,
+    then {int i, j, k, mat} records (16 B); uv and mat are dropped exactly
+    like the reference drops them."""
+    with open(path, "rb") as f:
+        data = f.read()
+    n_vertex = int(np.frombuffer(data, "<u8", count=1, offset=0)[0])
+    vdt = np.dtype([("pos", "<f4", 3), ("nrm", "<f4", 3), ("uv", "<f4", 2)])
+    verts = np.frombuffer(data, vdt, count=n_vertex, offset=8)
+    off = 8 + n_vertex * vdt.itemsize
+    n_tri = int(np.frombuffer(data, "<u8", count=1, offset=off)[0])
+    tdt = np.dtype([("idx", "<i4", 3), ("mat", "<i4")])
+    tris = np.frombuffer(data, tdt, count=n_tri, offset=off + 8)
+
+    mesh = Mesh(
+        positions=np.ascontiguousarray(verts["pos"], np.float32),
+        indices=np.ascontiguousarray(tris["idx"], np.int32),
+    )
+    normals = np.ascontiguousarray(verts["nrm"], np.float32)
+    norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+    if np.isfinite(normals).all() and (norm[:, 0] > 1e-8).all():
+        mesh.normals = (normals / norm).astype(np.float32)
+    return mesh
+
+
+def save_wo3(path: str, positions: np.ndarray, indices: np.ndarray,
+             normals: np.ndarray | None = None,
+             uvs: np.ndarray | None = None):
+    """Writer for the reference's .wo3 layout (round-trip/test complement;
+    the reference itself ships only the importer)."""
+    positions = np.asarray(positions, np.float32)
+    indices = np.asarray(indices, np.int32).reshape(-1, 3)
+    n = len(positions)
+    vdt = np.dtype([("pos", "<f4", 3), ("nrm", "<f4", 3), ("uv", "<f4", 2)])
+    verts = np.zeros(n, vdt)
+    verts["pos"] = positions
+    if normals is not None:
+        verts["nrm"] = np.asarray(normals, np.float32)
+    if uvs is not None:
+        verts["uv"] = np.asarray(uvs, np.float32)
+    tdt = np.dtype([("idx", "<i4", 3), ("mat", "<i4")])
+    tris = np.zeros(len(indices), tdt)
+    tris["idx"] = indices
+    with open(path, "wb") as f:
+        f.write(np.uint64(n).tobytes())
+        f.write(verts.tobytes())
+        f.write(np.uint64(len(indices)).tobytes())
+        f.write(tris.tobytes())
 
 
 # ------------------------------------------------------------------------ PLY
