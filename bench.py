@@ -205,7 +205,8 @@ def _bigmesh_metric():
 
     run = jax.jit(
         lambda pool, o, d, t: intersect_mesh(
-            pool, h.node_offset, h.tri_offset, o, d, t
+            pool, h.node_offset, h.tri_offset, o, d, t,
+            stack_slots=h.stack_slots,
         )
     )
     np.asarray(run(flat.pool, origins, dirs, tmax)[0])

@@ -40,7 +40,8 @@ def main():
 
     run = jax.jit(
         lambda pool, o, d, t: intersect_mesh(
-            pool, h.node_offset, h.tri_offset, o, d, t
+            pool, h.node_offset, h.tri_offset, o, d, t,
+            stack_slots=h.stack_slots,
         )
     )
     t0 = time.perf_counter()

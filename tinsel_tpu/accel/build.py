@@ -512,6 +512,31 @@ def build_wide_bvh(bvh: BVH, k: int = WIDE_K, use_native: bool = True) -> WideBV
     )
 
 
+def wide_stack_bound(wide: WideBVH) -> int:
+    """Exact worst-case per-lane stack usage for the slot-order DFS walk
+    (accel/traverse.py): at each internal node the walk descends into the
+    first hit internal child and pushes the others, so a node with m
+    internal children contributes up to m-1 pending entries while inside
+    child j's subtree (m-1-j remain). The bound is the max over root-leaf
+    paths assuming every child hits — pruning only ever uses less.
+
+    Word semantics (build_wide_bvh): child word >= 1 -> internal child id;
+    word < 0 -> leaf block; word == 0 -> empty slot (the root, id 0, is
+    never anyone's child)."""
+    rows = wide.node_rows
+    words = rows[:, NODE_WORD_COL : NODE_WORD_COL + WIDE_K].view(np.int32)
+    best = 0
+    stack = [(0, 0)]  # (internal node id, pending entries on arrival)
+    while stack:
+        node, p = stack.pop()
+        internals = [int(w) for w in words[node] if w >= 1]
+        m = len(internals)
+        best = max(best, p + max(m - 1, 0))
+        for j, ch in enumerate(internals):
+            stack.append((ch, p + m - 1 - j))
+    return best
+
+
 def validate_wide_bvh(wide: WideBVH, lowers: np.ndarray, uppers: np.ndarray,
                       n_items: int) -> bool:
     """Structural sanity of the 4-ary traversal layout: the all-hit walk

@@ -17,30 +17,41 @@ The design is driven by an empirically measured cost model of this runtime
     benchmark the max is ~10x the mean, so the tail, not the mean, sets
     throughput.
 
-Algorithm: **4-ary skip-link DFS with parent-dwell leaf blocks**
+Algorithm: **4-ary short-stack DFS with parent-dwell leaf blocks**
 (layout built by accel.build.build_wide_bvh):
 
   * an internal node row carries all FOUR child AABBs (bf16 pairs packed
     one-per-axis to halve consumed columns; bounds rounded outward) plus
-    child words + skip — one 17-column read tests four children;
+    child words — one 16-column read tests four children;
   * leaves are padded 16-triangle blocks; a hit leaf child is tested in ONE
     step (a 192-float block gather + 16 lockstep Moller-Trumbore tests on
     contiguous component-major column groups) while the cursor dwells at
-    the parent, so leaves own no rows and no skip state;
-  * the cursor then descends into the first hit internal child; finished
-    subtrees escape along static internal-sibling skip links (a missed
-    sibling reached this way costs one step: its children all miss by
-    containment);
-  * simulated on the 524k-tri mesh this runs max ~101 / mean ~16 steps per
-    ray vs 367 / 35 for the round-1 binary leaf-dwell walk.
+    the parent, so leaves own no rows and no stack entries;
+  * the cursor then descends into the first hit internal child and PUSHES
+    the other hit internal children onto a short per-lane stack (a tuple
+    of 1-D int32 carries addressed by unrolled select chains — elementwise
+    VPU work, ~free next to the gathers). When a subtree finishes, the
+    next node comes from a pop, so internal children that MISSED at their
+    parent are never visited at all. This replaced the round-2 static
+    skip-link escape chain, which walked through every internal sibling
+    hit-or-missed: simulated on the 524k-tri benchmark the stack advance
+    cuts mean steps 15.8 -> 9.0 and p95 34 -> 19 at identical per-step
+    gather cost (benchmarks/step_stats_order.py; per-ray nearest-first
+    ordering adds NOTHING on top — the whole win is skipping
+    missed-at-parent siblings, so child visit order stays slot order).
+    The stack size is the exact worst-case bound for slot-order DFS on
+    the tree, computed at build time (accel.build.wide_stack_bound).
 
 The lockstep tail is cut by TWO-PHASE tiling: phase 1 runs every tile with
 a step cap (early-exiting tiles stop sooner); the few unfinished rays are
 then compacted to the front (one stable argsort) and phase 2 finishes them
-— tiles of finished rays exit after a single iteration. Triangles are
+— tiles of finished rays exit after a single iteration. Phase 2 RESTARTS
+unfinished rays from the root carrying only (best_t, best_tri): the
+tightened best_t prunes most of the re-walk, and not carrying the stack
+keeps the compaction permutation to a handful of arrays. Triangles are
 pre-deindexed at scene-flatten time in block-padded order so a leaf is one
 contiguous 192-float row. Net effect on the 524k-tri closest-hit
-benchmark: 0.33 (round 1) -> 1.21 Mrays/s.
+benchmark: 0.33 (round 1) -> 1.21 Mrays/s (round 2 skip-link walk).
 
 Measured-and-rejected this round (benchmarks/ scripts, git history):
   * collect-then-test (node-only walk records per-ray block lists, then
@@ -141,6 +152,9 @@ class MeshHandle:
     area: float
     root_lower: tuple  # (3,) mesh-local root AABB, static floats
     root_upper: tuple
+    stack_slots: int = 48  # exact worst-case DFS stack bound of this
+    # sub-BVH (accel.build.wide_stack_bound); the traversal carry
+    # allocates this many per-lane slots
 
 
 def _split3(v):
@@ -210,9 +224,11 @@ def _child_tests(row, o, rd, best_t, live):
     """Slab-test the four bf16-packed child AABBs in a node row. Gather
     cost in loops scales with CONSUMED columns on this runtime, so the
     boxes are bf16 pairs (3 columns per child instead of 6); bounds are
-    rounded outward at build time, making the test conservative.
-    Returns (ok_c, word_c lists of 4, skip)."""
-    from .build import NODE_SKIP_COL, NODE_WORD_COL
+    rounded outward at build time, making the test conservative. The
+    stored skip column (the round-2 escape chain) is NOT read — the stack
+    advance replaced it — so a step consumes 16 columns.
+    Returns (ok_c, word_c lists of 4)."""
+    from .build import NODE_WORD_COL
 
     ok = []
     words = []
@@ -239,8 +255,27 @@ def _child_tests(row, o, rd, best_t, live):
         words.append(
             jax.lax.bitcast_convert_type(row[:, NODE_WORD_COL + c], jnp.int32)
         )
-    skip = jax.lax.bitcast_convert_type(row[:, NODE_SKIP_COL], jnp.int32)
-    return ok, words, skip
+    return ok, words
+
+
+def _stack_push(stack, sp, value, mask):
+    """Push `value` on lanes where `mask`. stack: tuple of (R,) i32 slot
+    arrays; sp: (R,) i32 depth. Per-lane dynamic indexing is an unrolled
+    select chain — elementwise VPU work, ~free next to the row gathers."""
+    out = tuple(
+        jnp.where(mask & (sp == j), value, s) for j, s in enumerate(stack)
+    )
+    return out, sp + mask.astype(jnp.int32)
+
+
+def _stack_pop(stack, sp, mask):
+    """Pop on lanes where `mask`; returns (value, sp'). Lanes popping an
+    empty stack get -1 (the walk-finished sentinel)."""
+    top = sp - 1
+    val = jnp.full_like(sp, -1)
+    for j, s in enumerate(stack):
+        val = jnp.where(mask & (top == j), s, val)
+    return val, sp - (mask & (sp > 0)).astype(jnp.int32)
 
 
 def _block_test(pool, block_base, blk_local, dwell, o, d, best_t):
@@ -266,8 +301,7 @@ def _block_test_row(brow, blk_local, dwell, o, d, best_t):
     return found, t_min, tri_local
 
 
-def _step(pool, node_offset, block_base, o, d, rd, cur, lc, pend, best_t,
-          best_tri):
+def _step(pool, node_offset, block_base, o, d, rd, st):
     """One lockstep traversal step with a DEFERRED leaf-block test.
 
     The step-k node gather (indexed by `cur`) and the step-k block gather
@@ -277,8 +311,16 @@ def _step(pool, node_offset, block_base, o, d, rd, cur, lc, pend, best_t,
     (benchmarks/microbench_r3_gatherdep.py). The deferral costs one extra
     flush iteration per ray and a one-step-stale best_t in the child prune
     (visits never drop a closer hit: best_t only shrinks), and preserves
-    block visit ORDER, so results are bit-identical to the chained walk.
-    """
+    block visit ORDER.
+
+    Advance: descend into the first hit internal child, pushing the other
+    hit internal children; when nothing hits, pop. An empty pop yields
+    cur = -1 (walk done)."""
+    cur, lc, pend, sp, stack = (
+        st["cur"], st["lc"], st["pend"], st["sp"], st["stack"]
+    )
+    best_t, best_tri = st["best_t"], st["best_tri"]
+
     live = cur >= 0
     row = pool.node_rows[node_offset + jnp.maximum(cur, 0)]  # gather 1
     has_pend = pend >= 0
@@ -294,7 +336,7 @@ def _step(pool, node_offset, block_base, o, d, rd, cur, lc, pend, best_t,
     best_t = jnp.where(found, t_min, best_t)
     best_tri = jnp.where(found, tri_local, best_tri)
 
-    ok, words, skip = _child_tests(row, o, rd, best_t, live)
+    ok, words = _child_tests(row, o, rd, best_t, live)
 
     # smallest hit-leaf child slot >= lc (the next pending block)
     s = jnp.full_like(cur, 4)
@@ -306,75 +348,85 @@ def _step(pool, node_offset, block_base, o, d, rd, cur, lc, pend, best_t,
     dwell = live & (s < 4)
     pend = jnp.where(dwell, -w_s - 1, jnp.int32(-1))  # ~word
 
-    # advance: first hit internal child, else skip
-    nxt = skip
+    # descend target: first hit internal child; the rest get pushed
+    hitint = [ok[c] & (words[c] >= 0) for c in range(4)]
+    first_c = jnp.full_like(cur, 4)
+    desc = jnp.zeros_like(cur)
     for c in range(3, -1, -1):
-        nxt = jnp.where(ok[c] & (words[c] >= 0), words[c], nxt)
-    cur = jnp.where(live, jnp.where(dwell, cur, nxt), cur)
-    lc = jnp.where(dwell, s + 1, 0)
-    return cur, lc, pend, best_t, best_tri
+        first_c = jnp.where(hitint[c], jnp.int32(c), first_c)
+        desc = jnp.where(hitint[c], words[c], desc)
+    has_desc = first_c < 4
+    adv = live & ~dwell
+    # push far slots first so nearer slots pop first (slot-order DFS)
+    for c in (3, 2, 1):
+        stack, sp = _stack_push(
+            stack, sp, words[c], adv & hitint[c] & (first_c < c)
+        )
+    popped, sp = _stack_pop(stack, sp, adv & ~has_desc)
+    cur = jnp.where(adv, jnp.where(has_desc, desc, popped), cur)
+    lc = jnp.where(dwell, s + 1, jnp.where(adv, 0, lc))
+    return dict(
+        cur=cur, lc=lc, pend=pend, sp=sp, stack=stack,
+        best_t=best_t, best_tri=best_tri,
+    )
 
 
 def _traverse_tile(pool, node_offset, tri_offset, o, d, state, cap=None,
                    with_steps=False):
-    """Run the traversal loop on one ray tile from `state`
-    (cur, lc, best_t, best_tri[, steps]); optionally capped at `cap`
-    iterations (phase 1 of the two-phase schedule)."""
+    """Run the traversal loop on one ray tile from `state` (the dict built
+    by _init_state); optionally capped at `cap` iterations (phase 1 of the
+    two-phase schedule)."""
     rd = _safe_rcp3(d)
     block_base = tri_offset // BLOCK_SIZE
-
-    # a lane is unfinished while it has a node to visit OR a block to flush
-    if cap is None:
-        def cond(s):
-            return jnp.any((s[0] >= 0) | (s[2] >= 0))
-    else:
-        def cond(s):
-            return jnp.any((s[0] >= 0) | (s[2] >= 0)) & (
-                s[_N_CORE if not with_steps else _N_CORE + 1] < cap
-            )
-
-    # iteration counter only needed for the cap
     use_counter = cap is not None
 
+    # a lane is unfinished while it has a node to visit OR a block to flush
+    def unfinished(s):
+        return (s["cur"] >= 0) | (s["pend"] >= 0)
+
+    if cap is None:
+        def cond(s):
+            return jnp.any(unfinished(s))
+    else:
+        def cond(s):
+            return jnp.any(unfinished(s)) & (s["it"] < cap)
+
     def body(s):
-        cur, lc, pend, best_t, best_tri = s[:_N_CORE]
-        rest = s[_N_CORE:]
-        live = (cur >= 0) | (pend >= 0)
-        cur, lc, pend, best_t, best_tri = _step(
-            pool, node_offset, block_base, o, d, rd, cur, lc, pend, best_t,
-            best_tri,
-        )
-        out = (cur, lc, pend, best_t, best_tri)
+        live = unfinished(s)
+        out = _step(pool, node_offset, block_base, o, d, rd, s)
         if with_steps:
-            out = out + (rest[0] + live.astype(jnp.float32),)
-            rest = rest[1:]
+            out["steps"] = s["steps"] + live.astype(jnp.float32)
         if use_counter:
-            out = out + (rest[0] + 1,)
+            out["it"] = s["it"] + 1
         return out
 
-    init = state
+    init = dict(state)
     if use_counter:
-        init = state + (jnp.int32(0),)
-
+        init["it"] = jnp.int32(0)
     out = jax.lax.while_loop(cond, body, init)
-    if use_counter:
-        out = out[:-1]
+    out.pop("it", None)
     return out
 
 
-_N_CORE = 5  # (cur, lc, pend, best_t, best_tri)
+DEFAULT_STACK_SLOTS = 48  # conservative fallback when the caller does not
+# pass the exact per-tree bound (accel.build.wide_stack_bound; flatten
+# refuses trees needing more, so the fallback is always safe)
 
 
-def _init_state(r, tmax, with_steps=False):
-    st = (
-        jnp.zeros((r,), jnp.int32),  # cur
-        jnp.zeros((r,), jnp.int32),  # lc
-        jnp.full((r,), -1, jnp.int32),  # pend (deferred leaf block, -1=none)
-        jnp.asarray(tmax, jnp.float32),  # best_t
-        jnp.full((r,), -1, jnp.int32),  # best_tri
+def _init_state(r, tmax, stack_slots, with_steps=False):
+    st = dict(
+        cur=jnp.zeros((r,), jnp.int32),
+        lc=jnp.zeros((r,), jnp.int32),
+        pend=jnp.full((r,), -1, jnp.int32),  # deferred leaf block (-1=none)
+        sp=jnp.zeros((r,), jnp.int32),
+        stack=tuple(
+            jnp.zeros((r,), jnp.int32) for _ in range(stack_slots)
+        ),
+        best_t=jnp.asarray(tmax, jnp.float32),
+        best_tri=jnp.full((r,), -1, jnp.int32),
     )
     if with_steps:
-        st = st + (jnp.zeros((r,), jnp.float32),)
+        st["steps"] = jnp.zeros((r,), jnp.float32)
     return st
 
 
@@ -393,25 +445,29 @@ def _map_tiles(pool, node_offset, tri_offset, o, d, state, tile, cap,
     n_tiles = r // tile
 
     def one(args):
-        oo = args[0:3]
-        dd = args[3:6]
-        no, to = args[6], args[7]
-        st = tuple(args[8:])
+        oo, dd, no, to, st = args
         return _traverse_tile(pool, no, to, oo, dd, st, cap, with_steps)
 
-    parts = tuple(
-        c.reshape(n_tiles, tile)
-        for c in o + d + (node_offset, tri_offset) + state
+    resh = lambda x: x.reshape(n_tiles, tile)
+    parts = (
+        tuple(resh(c) for c in o),
+        tuple(resh(c) for c in d),
+        resh(node_offset),
+        resh(tri_offset),
+        jax.tree_util.tree_map(resh, state),
     )
     out = jax.lax.map(one, parts)
-    return tuple(x.reshape(r) for x in out)
+    return jax.tree_util.tree_map(lambda x: x.reshape(r), out)
 
 
 def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
-               with_steps=False):
+               stack_slots, with_steps=False):
     """Two-phase tiled traversal: capped phase 1 over all tiles, then a
     stable compaction of unfinished rays to the front, then uncapped
-    phase 2 (tiles of finished rays exit after one iteration).
+    phase 2 (tiles of finished rays exit after one iteration). Phase 2
+    RESTARTS unfinished rays from the root with the phase-1 best_t — the
+    tightened bound prunes most of the re-walk, and not carrying the
+    stack/cursor keeps the compaction permutation small.
     Returns (best_t, best_tri[, steps])."""
     r = origins.shape[0]
     node_offset = jnp.broadcast_to(
@@ -437,19 +493,25 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
         )
         out = _run_tiled(
             pool, node_offset, tri_offset, origins, dirs, tmax, tile,
-            with_steps,
+            stack_slots, with_steps,
         )
         return tuple(x[:r] for x in out)
 
     o = _split3(origins)
     d = _split3(dirs)
-    state = _init_state(r, tmax, with_steps)
+    state = _init_state(r, tmax, stack_slots, with_steps)
+
+    def results(out):
+        res = (out["best_t"], out["best_tri"])
+        if with_steps:
+            res = res + (out["steps"],)
+        return res
 
     if r <= tile:
         out = _traverse_tile(
             pool, node_offset, tri_offset, o, d, state, None, with_steps
         )
-        return out[3:5] + out[5:]
+        return results(out)
 
     # phase 1: capped
     st1 = _map_tiles(
@@ -457,19 +519,22 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
         with_steps,
     )
     # compact unfinished rays to the front (stable: preserves coherence)
-    finished = (st1[0] < 0) & (st1[2] < 0)
+    finished = (st1["cur"] < 0) & (st1["pend"] < 0)
     perm = jnp.argsort(finished.astype(jnp.int8), stable=True)
     o2 = tuple(c[perm] for c in o)
     d2 = tuple(c[perm] for c in d)
-    st2 = tuple(x[perm] for x in st1)
-    # phase 2: uncapped
+    # phase 2: restart from the root; finished lanes stay finished
+    st2 = _init_state(r, st1["best_t"][perm], stack_slots, with_steps)
+    st2["cur"] = jnp.where(finished[perm], jnp.int32(-1), jnp.int32(0))
+    st2["best_tri"] = st1["best_tri"][perm]
+    if with_steps:
+        st2["steps"] = st1["steps"][perm]
     out = _map_tiles(
         pool, node_offset[perm], tri_offset[perm], o2, d2, st2, tile, None,
         with_steps,
     )
     inv = jnp.argsort(perm)
-    out = tuple(jnp.take(x, inv) for x in out)
-    return out[3:5] + out[5:]
+    return tuple(jnp.take(x, inv) for x in results(out))
 
 
 def _refit_hit(pool: MeshPool, tri_offset, origins, dirs, best_tri, best_t):
@@ -487,7 +552,8 @@ def _refit_hit(pool: MeshPool, tri_offset, origins, dirs, best_tri, best_t):
 
 
 def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
-                   num_tris: int | None = None, tile: int | None = None):
+                   num_tris: int | None = None, tile: int | None = None,
+                   stack_slots: int | None = None):
     """Vectorized closest-hit against one mesh sub-BVH. origins/dirs: (R, 3);
     tmax: (R,). Returns (t, tri_local, u, v, w, n_geo) with t=inf on miss;
     tri_local indexes the *block-padded* pool order.
@@ -495,6 +561,11 @@ def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
     If num_tris is given and small, skips the tree entirely and tests all
     triangles broadcast against all rays — for tiny meshes (area-light
     quads) the O(T*R) masked sweep beats any traversal.
+
+    stack_slots: worst-case DFS stack bound of the (deepest) sub-BVH
+    traversed, from MeshHandle.stack_slots / accel.build.wide_stack_bound.
+    None falls back to DEFAULT_STACK_SLOTS (always safe — flatten refuses
+    deeper trees — but costs extra elementwise push/pop selects).
     """
     if num_tris is not None and num_tris <= BLOCK_SIZE:
         return _intersect_mesh_brute(
@@ -502,8 +573,9 @@ def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
         )
 
     tile = TILE if tile is None else tile
+    ss = DEFAULT_STACK_SLOTS if stack_slots is None else stack_slots
     best_t, best_tri = _run_tiled(
-        pool, node_offset, tri_offset, origins, dirs, tmax, tile
+        pool, node_offset, tri_offset, origins, dirs, tmax, tile, ss
     )
     return _refit_hit(pool, tri_offset, origins, dirs, best_tri, best_t)
 
@@ -511,7 +583,8 @@ def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
 # ------------------------------------------------------------------ any-hit
 
 
-def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax):
+def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax,
+                       stack_slots):
     """Any-hit (occlusion) variant: a ray terminates the moment any
     triangle hit with t < tmax is found. Shadow rays exit orders of
     magnitude earlier than closest-hit (render.cpp's shadow Trace has no
@@ -525,6 +598,8 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax):
         jnp.zeros((r,), jnp.int32),  # cur
         jnp.zeros((r,), jnp.int32),  # lc
         jnp.full((r,), -1, jnp.int32),  # pend (deferred leaf block)
+        jnp.zeros((r,), jnp.int32),  # sp
+        tuple(jnp.zeros((r,), jnp.int32) for _ in range(stack_slots)),
         jnp.zeros((r,), jnp.bool_),  # occluded
     )
     tmax = jnp.asarray(tmax, jnp.float32)
@@ -533,7 +608,7 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax):
         return jnp.any((s[0] >= 0) | (s[2] >= 0))
 
     def body(s):
-        cur, lc, pend, occ = s
+        cur, lc, pend, sp, stack, occ = s
         live = cur >= 0
         row = pool.node_rows[node_offset + jnp.maximum(cur, 0)]
         has_pend = pend >= 0
@@ -545,7 +620,7 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax):
         occ = occ | found
 
         act = live & ~occ  # occluded lanes stop walking immediately
-        ok, words, skip = _child_tests(row, o, rd, tmax, act)
+        ok, words = _child_tests(row, o, rd, tmax, act)
 
         s_slot = jnp.full_like(cur, 4)
         w_s = jnp.zeros_like(cur)
@@ -556,21 +631,37 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax):
         dwell = act & (s_slot < 4)
         pend = jnp.where(dwell, -w_s - 1, jnp.int32(-1))
 
-        nxt = skip
+        hitint = [ok[c] & (words[c] >= 0) for c in range(4)]
+        first_c = jnp.full_like(cur, 4)
+        desc = jnp.zeros_like(cur)
         for c in range(3, -1, -1):
-            nxt = jnp.where(ok[c] & (words[c] >= 0), words[c], nxt)
+            first_c = jnp.where(hitint[c], jnp.int32(c), first_c)
+            desc = jnp.where(hitint[c], words[c], desc)
+        has_desc = first_c < 4
+        adv = act & ~dwell
+        for c in (3, 2, 1):
+            stack, sp = _stack_push(
+                stack, sp, words[c], adv & hitint[c] & (first_c < c)
+            )
+        popped, sp = _stack_pop(stack, sp, adv & ~has_desc)
         cur = jnp.where(
-            live, jnp.where(occ, jnp.int32(-1), jnp.where(dwell, cur, nxt)),
+            live,
+            jnp.where(
+                occ, jnp.int32(-1),
+                jnp.where(dwell, cur, jnp.where(has_desc, desc, popped)),
+            ),
             cur,
         )
-        lc = jnp.where(dwell, s_slot + 1, 0)
-        return cur, lc, pend, occ
+        lc = jnp.where(dwell, s_slot + 1, jnp.where(adv, 0, lc))
+        return cur, lc, pend, sp, stack, occ
 
-    return jax.lax.while_loop(cond, body, state)[3]
+    return jax.lax.while_loop(cond, body, state)[5]
 
 
 def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
-                       tmax, num_tris: int | None = None, tile: int | None = None):
+                       tmax, num_tris: int | None = None,
+                       tile: int | None = None,
+                       stack_slots: int | None = None):
     """Boolean occlusion query against one mesh sub-BVH: does any triangle
     intersect with t < tmax? origins/dirs: (R, 3); tmax: (R,)."""
     if num_tris is not None and num_tris <= BLOCK_SIZE:
@@ -580,6 +671,7 @@ def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
         return tri >= 0
 
     tile = TILE if tile is None else tile
+    ss = DEFAULT_STACK_SLOTS if stack_slots is None else stack_slots
     r = origins.shape[0]
     node_offset = jnp.broadcast_to(
         jnp.asarray(node_offset, jnp.int32), (r,)
@@ -601,18 +693,21 @@ def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
             [tri_offset, jnp.zeros((pad,), jnp.int32)]
         )
         return intersect_mesh_any(
-            pool, node_offset, tri_offset, origins, dirs, tmax, tile=tile
+            pool, node_offset, tri_offset, origins, dirs, tmax, tile=tile,
+            stack_slots=ss,
         )[:r]
 
     o = _split3(origins)
     d = _split3(dirs)
     if r <= tile:
-        return _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax)
+        return _traverse_tile_any(
+            pool, node_offset, tri_offset, o, d, tmax, ss
+        )
     n_tiles = r // tile
 
     def one(args):
         return _traverse_tile_any(
-            pool, args[7], args[8], args[0:3], args[3:6], args[6]
+            pool, args[7], args[8], args[0:3], args[3:6], args[6], ss
         )
 
     parts = tuple(c.reshape(n_tiles, tile) for c in o + d) + (
@@ -624,7 +719,8 @@ def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
 
 
 def traversal_cost(pool: MeshPool, node_offset, tri_offset, origins, dirs,
-                   tmax, num_tris: int | None = None, tile: int | None = None):
+                   tmax, num_tris: int | None = None, tile: int | None = None,
+                   stack_slots: int | None = None):
     """Per-ray step count (node visits + leaf-block steps) — the
     `eComplexity` debug view the reference reserves but never implements
     (render.h:45, render.cpp:516-519). Returns (R,) f32 counts."""
@@ -632,8 +728,9 @@ def traversal_cost(pool: MeshPool, node_offset, tri_offset, origins, dirs,
         return jnp.full((origins.shape[0],), float(num_tris), jnp.float32)
 
     tile = TILE if tile is None else tile
+    ss = DEFAULT_STACK_SLOTS if stack_slots is None else stack_slots
     out = _run_tiled(
-        pool, node_offset, tri_offset, origins, dirs, tmax, tile,
+        pool, node_offset, tri_offset, origins, dirs, tmax, tile, ss,
         with_steps=True,
     )
     return out[2]

@@ -284,6 +284,7 @@ def trace_complexity(scene: SceneFlat, origins, dirs, times, scale: float = 256.
             cost = cost + traversal_cost(
                 scene.pool, h.node_offset, h.tri_offset, o_l, d_l,
                 jnp.full((r,), jnp.inf), num_tris=h.num_tris,
+                stack_slots=h.stack_slots,
             )
         else:
             cost = cost + 1.0

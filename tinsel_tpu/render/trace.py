@@ -246,6 +246,7 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
             sg(o_l.reshape(n_inst * r, 3)), sg(d_l.reshape(n_inst * r, 3)),
             sg(tmax_i.reshape(n_inst * r)),
             num_tris=handles[0].num_tris if is_tiny else None,
+            stack_slots=max(h.stack_slots for h in handles),
         )
         # local t equals world t: the transform maps the ray's parameter
         # linearly (uniform scale folded into |d_l|), so best_t is a valid
@@ -369,6 +370,7 @@ def trace_any(scene: SceneFlat, origins, dirs, times, tmax) -> jax.Array:
             sg(scene.pool), noff_b, toff_b, sg(o_l.reshape(n_inst * r, 3)),
             sg(d_l.reshape(n_inst * r, 3)), sg(tm),
             num_tris=handles[0].num_tris if is_tiny else None,
+            stack_slots=max(h.stack_slots for h in handles),
         )
         occ = occ | oc.reshape(n_inst, r).any(axis=0)
     # saved under the integrator's remat policy (see trace_closest)

@@ -35,6 +35,7 @@ from ..accel.build import (
     build_bvh,
     build_wide_bvh,
     triangle_bounds,
+    wide_stack_bound,
 )
 from ..accel.traverse import MeshHandle, MeshPool
 
@@ -416,6 +417,13 @@ class Scene:
                 )
             )
             n_padded = len(wide.perm_padded)
+            ss = wide_stack_bound(wide)
+            if ss > 48:
+                raise ValueError(
+                    f"mesh BVH needs {ss} traversal stack slots (> 48): "
+                    "pathologically deep tree — rebuild with a larger leaf "
+                    "size or simplify the mesh"
+                )
             handles.append(
                 MeshHandle(
                     node_offset=node_off,
@@ -425,6 +433,7 @@ class Scene:
                     area=float(m.area),
                     root_lower=tuple(float(x) for x in wide.root_lower),
                     root_upper=tuple(float(x) for x in wide.root_upper),
+                    stack_slots=ss,
                 )
             )
             node_off += wide.num_nodes
