@@ -274,6 +274,43 @@ def test_brute_small_mesh_matches_traversal():
     np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), rtol=1e-5)
 
 
+def test_stack_bound_sufficient():
+    """wide_stack_bound computes the EXACT worst case for the slot-order
+    DFS: traversal with exactly that many stack slots must agree with the
+    brute force on an adversarial random soup (unbalanced tree, deep
+    stacks), while the all-hit worst case can never exceed the bound."""
+    from tinsel_tpu.accel.build import (
+        build_bvh, build_wide_bvh, triangle_bounds, wide_stack_bound,
+    )
+
+    positions, indices = _random_tri_soup(800, seed=21)
+    bvh = build_bvh(*triangle_bounds(positions, indices))
+    wide = build_wide_bvh(bvh)
+    bound = wide_stack_bound(wide)
+    assert bound >= 1
+
+    pool, _ = _pool_from_mesh(positions, indices)
+    rng = np.random.default_rng(22)
+    n_rays = 128
+    origins = rng.uniform(-15, 15, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    tmax = jnp.full((n_rays,), np.inf, np.float32)
+
+    t_exact, tri_exact, *_ = intersect_mesh(
+        pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax,
+        stack_slots=bound,
+    )
+    t_wide, tri_wide, *_ = intersect_mesh(
+        pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax,
+        stack_slots=bound + 8,
+    )
+    np.testing.assert_array_equal(np.asarray(tri_exact), np.asarray(tri_wide))
+    np.testing.assert_allclose(
+        np.asarray(t_exact), np.asarray(t_wide), rtol=1e-6
+    )
+
+
 def test_wide_bvh_structure():
     """The 4-ary collapse must cover every triangle exactly once, terminate
     under the all-hit walk, and keep child boxes containing their blocks —
