@@ -52,6 +52,9 @@ def build_parser():
     p.add_argument("-nlm-radius", type=int, default=1)
     p.add_argument("-checkpoint", default=None, help="checkpoint file path")
     p.add_argument("-checkpoint-every", type=int, default=64)
+    p.add_argument("-guard-retries", type=int, default=2,
+                   help="per-chunk retry budget for NaN/device-failure "
+                   "recovery (parallel/failure.py)")
     p.add_argument("-resume", action="store_true")
     p.add_argument("-convert", default=None, metavar="MESH",
                    help="convert a mesh to the .npz cache format and exit")
@@ -84,6 +87,7 @@ def render_one(scene, args, out_path: str):
     from ..render.renderer import make_accumulate_fn
     from ..ops.pallas.nlm import nlm_denoise
     from ..parallel.checkpoint import load_checkpoint, save_checkpoint
+    from ..parallel.failure import ChunkGuard
 
     o = scene.options
     if args.spp is not None:
@@ -120,6 +124,8 @@ def render_one(scene, args, out_path: str):
         accum = jnp.asarray(a)
         print(f"resumed {args.checkpoint} at {start_spp} spp")
 
+    guard = ChunkGuard(retries=args.guard_retries,
+                       salvage_path=args.checkpoint, seed=args.seed)
     t0 = time.perf_counter()
     s = start_spp
     ckpt_mark = s
@@ -127,10 +133,10 @@ def render_one(scene, args, out_path: str):
     while s < spp:
         this = min(chunk, spp - s)
         if this == chunk:
-            accum = step(accum, flat, cam, key, c)
+            accum = guard.run(step, accum, flat, cam, key, c, spp_done=s)
         else:
             step_rem = make_accumulate_fn(o, this)
-            accum = step_rem(accum, flat, cam, key, c)
+            accum = guard.run(step_rem, accum, flat, cam, key, c, spp_done=s)
         s += this
         c += 1
         if args.progressive and s % args.progressive == 0 and s < spp:
