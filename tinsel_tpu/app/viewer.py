@@ -3,13 +3,21 @@ chunked accumulate loop.
 
 The reference's GLUT loop (main.cpp:223-329, 359-529) shows the
 accumulation buffer as it refines, with keys for render mode
-(1=normals 2=complexity 3=pathtrace), exposure +/- and an NLM toggle. A
-remote/headless TPU has no GL surface, so the TPU-native equivalent is a
-local web page: the render loop keeps accumulating passes and re-encodes
-the resolved PNG; the page polls it and posts control changes
-(exposure, mode, denoise, pause, restart). Mode changes reset the
-accumulation buffer, exactly like the reference's g_sampleCount reset
-(main.cpp:390).
+(1=normals 2=complexity 3=pathtrace), exposure +/- and an NLM toggle,
+plus a WASD fly camera with mouse-look (main.cpp:417-529 GLUTKeyboardDown
+/ GLUTMotionFunc). A remote/headless TPU has no GL surface, so the
+TPU-native equivalent is a local web page: the render loop keeps
+accumulating passes and re-encodes the resolved PNG; the page polls it
+and posts control changes (exposure, mode, denoise, pause, restart, and
+fly-cam move/rotate from keyboard events). Any change that alters the
+image resets the accumulation buffer, exactly like the reference's
+g_sampleCount reset (main.cpp:390, 466).
+
+Fly camera: w/s/a/d translate forward/back/left/right, q/e down/up,
+arrow keys yaw/pitch, [ ] halve/double the move speed — the reference's
+fly-mode state (g_camPos, g_camAngle, g_flySpeed, main.cpp:60-66) kept
+host-side as position + yaw/pitch and recomposed into the camera
+quaternion per change.
 
 Usage: `tinsel-tpu scene.tin -view [-port 8000]`, then open
 http://localhost:8000/.
@@ -47,20 +55,89 @@ button {{ margin:2px; padding:4px 10px }}
 <img id="view" src="/frame.png">
 <script>
 function ctl(q) {{ fetch('/ctl?' + q); }}
+// fly camera: WASD + QE move, arrows look, [ ] speed (main.cpp:417-529)
+const KEYS = {{
+  'w':'move=f', 's':'move=b', 'a':'move=l', 'd':'move=r',
+  'q':'move=d', 'e':'move=u',
+  'ArrowLeft':'rot=l', 'ArrowRight':'rot=r',
+  'ArrowUp':'rot=u', 'ArrowDown':'rot=d',
+  '[':'speed=down', ']':'speed=up',
+  '1':'mode=normals', '2':'mode=complexity', '3':'mode=pathtrace',
+}};
+document.addEventListener('keydown', ev => {{
+  const q = KEYS[ev.key];
+  if (q) {{ ctl(q); ev.preventDefault(); }}
+}});
 setInterval(() => {{
   document.getElementById('view').src = '/frame.png?' + Date.now();
   fetch('/status').then(r => r.json()).then(s => {{
     document.getElementById('status').textContent =
       ` ${{s.spp}} spp  ${{s.ms_per_spp.toFixed(1)}} ms/spp  ` +
       `exposure ${{s.exposure.toFixed(2)}}  mode ${{s.mode}}` +
+      (s.cam_pos ? `  cam [${{s.cam_pos.map(v => v.toFixed(2))}}]` : '') +
       (s.denoise ? '  [NLM]' : '') + (s.paused ? '  [paused]' : '');
   }});
 }}, 500);
 </script></body></html>"""
 
 
+class FlyCamera:
+    """Host-side fly-cam state (main.cpp:60-66 g_camPos/g_camAngle analog).
+
+    Position plus yaw (about world +Y) and pitch (about local +X), composed
+    into the scene camera's quaternion on each change; roll is dropped,
+    like the reference's angle-triple fly mode."""
+
+    def __init__(self, position, rotation, speed: float):
+        import jax.numpy as jnp
+
+        from ..core.math import quat_rotate
+
+        self.position = np.asarray(position, np.float32).copy()
+        fwd = np.asarray(
+            quat_rotate(jnp.asarray(rotation, jnp.float32),
+                        jnp.asarray([0.0, 0.0, -1.0], jnp.float32))
+        )
+        self.pitch = float(np.arcsin(np.clip(fwd[1], -1.0, 1.0)))
+        self.yaw = float(np.arctan2(-fwd[0], -fwd[2]))
+        self.speed = speed
+
+    def quat(self) -> np.ndarray:
+        cy, sy = np.cos(self.yaw * 0.5), np.sin(self.yaw * 0.5)
+        cp, sp = np.cos(self.pitch * 0.5), np.sin(self.pitch * 0.5)
+        # qy(yaw) * qx(pitch), [x, y, z, w]
+        return np.asarray(
+            [cy * sp, sy * cp, -sy * sp, cy * cp], np.float32
+        )
+
+    def move(self, cmd: str):
+        fwd = np.asarray(
+            [-np.sin(self.yaw) * np.cos(self.pitch),
+             np.sin(self.pitch),
+             -np.cos(self.yaw) * np.cos(self.pitch)], np.float32
+        )
+        right = np.asarray([np.cos(self.yaw), 0.0, -np.sin(self.yaw)],
+                           np.float32)
+        up = np.asarray([0.0, 1.0, 0.0], np.float32)
+        step = {
+            "f": fwd, "b": -fwd, "l": -right, "r": right, "u": up, "d": -up,
+        }.get(cmd)
+        if step is not None:
+            self.position = self.position + self.speed * step
+
+    def rotate(self, cmd: str, angle: float = np.deg2rad(5.0)):
+        if cmd == "l":
+            self.yaw += angle
+        elif cmd == "r":
+            self.yaw -= angle
+        elif cmd == "u":
+            self.pitch = min(self.pitch + angle, np.pi / 2 - 1e-3)
+        elif cmd == "d":
+            self.pitch = max(self.pitch - angle, -np.pi / 2 + 1e-3)
+
+
 class ViewerState:
-    def __init__(self, exposure: float):
+    def __init__(self, exposure: float, fly: "FlyCamera | None" = None):
         self.lock = threading.Lock()
         self.exposure = exposure
         self.mode = "pathtrace"
@@ -70,6 +147,8 @@ class ViewerState:
         self.png = b""
         self.spp = 0
         self.ms_per_spp = 0.0
+        self.fly = fly
+        self.cam_dirty = False
 
 
 def _make_handler(state: ViewerState, disp_w: int):
@@ -106,6 +185,14 @@ def _make_handler(state: ViewerState, disp_w: int):
                             mode=state.mode,
                             denoise=state.denoise,
                             paused=state.paused,
+                            cam_pos=(
+                                None if state.fly is None
+                                else [float(v) for v in state.fly.position]
+                            ),
+                            fly_speed=(
+                                None if state.fly is None
+                                else state.fly.speed
+                            ),
                         )
                     ).encode()
                 self._send(200, "application/json", body)
@@ -127,6 +214,16 @@ def _make_handler(state: ViewerState, disp_w: int):
                             state.restart = True
                     if "restart" in q:
                         state.restart = True
+                    if state.fly is not None:
+                        if "move" in q:
+                            state.fly.move(q["move"][0])
+                            state.cam_dirty = True
+                        if "rot" in q:
+                            state.fly.rotate(q["rot"][0])
+                            state.cam_dirty = True
+                        if "speed" in q:
+                            f = 2.0 if q["speed"][0] == "up" else 0.5
+                            state.fly.speed *= f
                 self._send(200, "text/plain", b"ok")
             else:
                 self._send(404, "text/plain", b"not found")
@@ -150,7 +247,13 @@ def run_viewer(scene, options, seed: int = 0, port: int = 8000,
     from ..render.camera import CameraParams
     from ..render.renderer import make_accumulate_fn
 
-    state = ViewerState(exposure=options.exposure)
+    # fly speed scaled to the camera's distance from the origin so one
+    # step is a visible fraction of the frame on any scene scale
+    fly = FlyCamera(
+        scene.camera.position, scene.camera.rotation,
+        speed=max(0.25, 0.05 * float(np.linalg.norm(scene.camera.position))),
+    )
+    state = ViewerState(exposure=options.exposure, fly=fly)
     disp_w = max(options.width * max(1, 512 // max(options.width, 1)), options.width)
     server = ThreadingHTTPServer(
         ("127.0.0.1", port), _make_handler(state, disp_w)
@@ -181,6 +284,16 @@ def run_viewer(scene, options, seed: int = 0, port: int = 8000,
         while stop_event is None or not stop_event.is_set():
             with state.lock:
                 mode = state.mode
+                if state.cam_dirty:
+                    # recompose the camera from the fly state; a moved
+                    # camera restarts accumulation (main.cpp:466)
+                    cam = dataclasses.replace(
+                        cam,
+                        position=jnp.asarray(state.fly.position, jnp.float32),
+                        rotation=jnp.asarray(state.fly.quat(), jnp.float32),
+                    )
+                    state.cam_dirty = False
+                    state.restart = True
                 if state.restart:
                     accum = jnp.zeros_like(accum)
                     spp = 0
