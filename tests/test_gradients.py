@@ -129,3 +129,30 @@ def test_inverse_rendering_reduces_albedo_error():
 
     err0, err1 = inv_main(steps=15, size=24, seed=3)
     assert err1 < err0 * 0.75, (err0, err1)
+
+
+def test_remat_save_sets_bit_equal():
+    """The remat save-set (integrator.REMAT_SAVE_NAMES) is a pure
+    performance knob: every save set must produce bit-identical loss and
+    material gradients (the saved residual IS the recomputed value)."""
+    import tinsel_tpu.render.integrator as integ
+    from tinsel_tpu.diff.gradients import render_loss_and_grads
+
+    flat, cam, key, target, opts = _setup(w=12, h=12, depth=2)
+    assert integ.REMAT_SAVE_NAMES == ("hit",)  # shipped default
+
+    def run():
+        loss, (gm, gc) = render_loss_and_grads(
+            flat, cam, key, target, **opts
+        )
+        return float(loss), [np.asarray(x) for x in jax.tree.leaves(gm)]
+
+    try:
+        base_loss, base_gm = run()
+        integ.REMAT_SAVE_NAMES = ("hit", "oh", "mat", "nee")
+        wide_loss, wide_gm = run()
+    finally:
+        integ.REMAT_SAVE_NAMES = ("hit",)
+    assert base_loss == wide_loss
+    for a, b in zip(base_gm, wide_gm):
+        np.testing.assert_array_equal(a, b)

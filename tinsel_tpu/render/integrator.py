@@ -41,6 +41,21 @@ from .lights import RAY_EPS, K_BSDF_SAMPLES, K_PROBE_SAMPLES, sample_lights
 from .probe import probe_pdf, sky_eval
 from .trace import trace_closest
 
+from jax.ad_checkpoint import checkpoint_name
+
+# Residuals the remat'd bounce SAVES in the forward pass (everything else
+# is recomputed during the backward sweep). Names tagged in the body:
+#   "hit" — BVH traversal outputs (render/trace.py) — re-running the
+#           traversal while_loops in the backward would double the
+#           dominant cost, so these are always saved;
+#   "oh"  — the per-bounce one-hot primitive matrix;
+#   "mat" — the selected per-lane material table;
+#   "nee" — the next-event-estimation radiance.
+# ("hit",) measured best on TPU v5 (cornell 256^2 d4 material grads,
+# benchmarks/grad_sweep_r4.py): wider saves trade recompute for residual
+# traffic at a loss on this elementwise-traffic-bound backward.
+REMAT_SAVE_NAMES: tuple = ("hit",)
+
 
 def _initial_state(origins, dirs):
     r = origins.shape[0]
@@ -94,10 +109,13 @@ def _make_bounce(scene: SceneFlat, times, key, r):
         # of a colliding scatter-add (see MaterialsFlat.select)
         idx = jnp.maximum(hit.prim, 0)
         oh = jax.nn.one_hot(idx, scene.num_prims, dtype=jnp.float32)
+        oh = checkpoint_name(oh, "oh")
         ohpick = lambda a: jnp.matmul(
             oh, a, precision=jax.lax.Precision.HIGHEST
         )
-        m = scene.materials.select_oh(oh)
+        m = jax.tree.map(
+            lambda x: checkpoint_name(x, "mat"), scene.materials.select_oh(oh)
+        )
         in_air = st["eta"] == 1.0
         out_eta = jnp.where(in_air, m.eta, 1.0)
         out_absorb = jnp.where(in_air[..., None], m.absorption, 0.0)
@@ -141,9 +159,12 @@ def _make_bounce(scene: SceneFlat, times, key, r):
         )
 
         # next-event estimation
-        nee = sample_lights(
-            scene, m, st["eta"], out_eta, p, n, -d, times,
-            jax.random.fold_in(kb, 1),
+        nee = checkpoint_name(
+            sample_lights(
+                scene, m, st["eta"], out_eta, p, n, -d, times,
+                jax.random.fold_in(kb, 1),
+            ),
+            "nee",
         )
         rad = rad + jnp.where(act_hit[..., None], thr * nee, 0.0)
 
@@ -222,7 +243,9 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
     # would disagree on residual signatures).
     bounce_or_skip = jax.checkpoint(
         bounce_or_skip,
-        policy=jax.checkpoint_policies.save_only_these_names("hit"),
+        policy=jax.checkpoint_policies.save_only_these_names(
+            *REMAT_SAVE_NAMES
+        ),
     )
 
     state, _ = jax.lax.scan(bounce_or_skip, state, jnp.arange(max_depth))
