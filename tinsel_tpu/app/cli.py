@@ -30,6 +30,12 @@ def build_parser():
     p.add_argument("-maxdepth", type=int, default=None)
     p.add_argument("-clamp", type=float, default=None)
     p.add_argument(
+        "-rr", type=int, default=None, metavar="N",
+        help="Russian-roulette start bounce (unbiased early termination "
+        "of low-throughput paths; the reference has none — 0 disables, "
+        "matching its run-to-maxDepth behavior)",
+    )
+    p.add_argument(
         "-mode", choices=["pathtrace", "normals", "complexity"], default=None
     )
     p.add_argument(
@@ -100,6 +106,8 @@ def render_one(scene, args, out_path: str):
         o.exposure = args.exposure
     if args.maxdepth is not None:
         o.max_depth = args.maxdepth
+    if args.rr is not None:
+        o.rr_depth = args.rr
     if args.clamp is not None:
         o.clamp = args.clamp
     if args.mode is not None:

@@ -26,7 +26,8 @@ FaceForward(n, dir) (render.cpp:363), MIS sample-count weighting with
 kBsdfSamples = kProbeSamples = 1 (render.cpp:9-10), pdf clamp floors, Beer-
 Lambert absorption exp(-sigma t) (render.cpp:272), first-bounce direct
 emission, termination on explicit light hits (render.cpp:322-324), no
-Russian roulette.
+Russian roulette by default (opt-in via Options.rr_depth — an unbiased
+extension the reference lacks).
 """
 
 from __future__ import annotations
@@ -73,8 +74,18 @@ def _initial_state(origins, dirs):
     )
 
 
-def _make_bounce(scene: SceneFlat, times, key, r):
-    """The integrator step shared by both backends (scan and while)."""
+RR_MIN_Q = 0.05  # survival-probability floor (firefly guard)
+
+
+def _make_bounce(scene: SceneFlat, times, key, r, rr_depth: int = 0):
+    """The integrator step shared by both backends (scan and while).
+
+    rr_depth > 0 enables Russian-roulette termination from that bounce on
+    — an improvement the reference explicitly lacks (render.cpp:230-388
+    runs every path to maxDepth); off by default for parity. Survival
+    q = clip(max throughput component, RR_MIN_Q, 1); surviving lanes
+    rescale throughput by 1/q (q detached, so gradient estimates stay
+    unbiased the same way the radiance estimate does)."""
     f32 = jnp.float32
 
     def bounce(st, i):
@@ -189,6 +200,17 @@ def _make_bounce(scene: SceneFlat, times, key, r):
         )[..., None]
         thr = jnp.where(alive[..., None], thr_next, thr)
 
+        if rr_depth > 0:
+            q = jnp.clip(
+                jax.lax.stop_gradient(thr.max(axis=-1)), RR_MIN_Q, 1.0
+            )
+            u_rr = jax.random.uniform(jax.random.fold_in(kb, 3), (r,))
+            roulette = i + 1 >= rr_depth  # applies to the NEXT bounce's ray
+            alive = alive & (~roulette | (u_rr < q))
+            thr = jnp.where(
+                (alive & roulette)[..., None], thr / q[..., None], thr
+            )
+
         o = jnp.where(alive[..., None], p + face_forward(n, l) * RAY_EPS, o)
         d = jnp.where(alive[..., None], l, d)
 
@@ -208,7 +230,8 @@ def _make_bounce(scene: SceneFlat, times, key, r):
     return bounce
 
 
-def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
+def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
+               rr_depth: int = 0):
     """Trace a batch of paths; returns (R, 3) radiance. The differentiable
     backend: `lax.scan` over bounces (reverse-mode needs the static loop
     structure), with a whole-bounce cond skip once every lane is dead so
@@ -218,7 +241,7 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
     derive from it by fold_in, independent across lanes by shape).
     """
     r = origins.shape[0]
-    bounce = _make_bounce(scene, times, key, r)
+    bounce = _make_bounce(scene, times, key, r, rr_depth)
     state = _initial_state(origins, dirs)
 
     def bounce_or_skip(st, i):
@@ -253,7 +276,7 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key):
 
 
 def path_trace_while(scene: SceneFlat, origins, dirs, times, max_depth: int,
-                     key):
+                     key, rr_depth: int = 0):
     """Megakernel-style backend: one `lax.while_loop` over bounces that
     exits the moment every lane dies — the analog of the reference's GPU
     megakernel per-thread depth loop (render.cu:725-883), one of its
@@ -263,7 +286,7 @@ def path_trace_while(scene: SceneFlat, origins, dirs, times, max_depth: int,
     at equal seeds. Forward-only: while_loop has no reverse rule — use
     path_trace (scan) for gradients."""
     r = origins.shape[0]
-    bounce = _make_bounce(scene, times, key, r)
+    bounce = _make_bounce(scene, times, key, r, rr_depth)
     state = _initial_state(origins, dirs)
 
     def cond(carry):

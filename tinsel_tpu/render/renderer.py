@@ -109,6 +109,7 @@ def render_pass(
     mode: str = "pathtrace",
     backend: str = "scan",
     sampler: str = "random",
+    rr_depth: int = 0,
 ):
     """One pass of `samples_per_pass` spp -> (H, W, 4) RGBA increment."""
     s = samples_per_pass
@@ -127,7 +128,8 @@ def render_pass(
 
     integrate = path_trace_while if backend == "while" else path_trace
     radiance = integrate(
-        scene, origins, dirs, times_flat, max_depth, jax.random.fold_in(key, 2)
+        scene, origins, dirs, times_flat, max_depth,
+        jax.random.fold_in(key, 2), rr_depth=rr_depth,
     )
     if math.isfinite(clamp):
         radiance = clamp_length(radiance, clamp)
@@ -157,6 +159,7 @@ def make_render_pass(options: Options, samples_per_pass: int = 1):
         mode=options.mode,
         backend=options.backend,
         sampler=getattr(options, "sampler", "random"),
+        rr_depth=getattr(options, "rr_depth", 0),
     )
 
 

@@ -1,7 +1,8 @@
 """.tin scene-description loader — full grammar parity with loader.cpp.
 
 Supported blocks (loader.cpp:17-428): `include <file>` (recursive),
-`options{}` (width/height/maxSamples/maxDepth/clamp/limit/exposure/filter),
+`options{}` (width/height/maxSamples/maxDepth/clamp/limit/exposure/filter,
+plus the rrDepth Russian-roulette extension),
 `camera{}` (position / rotation quat / target look-at / fov degrees /
 shutterstart / shutterend), `sky{}` (horizon/zenith/probe), named
 `material{}` blocks with every Disney parameter plus
@@ -136,6 +137,8 @@ class _TinParser:
                 o.max_samples = int(t[1])
             elif k == "maxDepth":
                 o.max_depth = int(t[1])
+            elif k == "rrDepth":  # extension: reference has no RR
+                o.rr_depth = int(t[1])
             elif k == "clamp":
                 o.clamp = float(t[1])
             elif k == "limit":

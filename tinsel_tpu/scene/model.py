@@ -244,6 +244,9 @@ class Options:
     sampler: str = "random"  # "random" (reference-active parity,
     # sampler.h:235 USE_RANDOM 1) | "stratified" | "bluenoise" (wire the
     # QMC kit the reference left dead behind its compile-time switch)
+    rr_depth: int = 0  # Russian-roulette start bounce; 0 = off (parity:
+    # the reference runs every path to maxDepth, render.cpp:250). N>0
+    # terminates low-throughput paths from bounce N on, unbiased.
 
 
 # --------------------------------------------------------------------- device
