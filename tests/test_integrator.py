@@ -316,3 +316,79 @@ def test_rr_options_plumbing():
 
         sc = load_tin(path)
         assert sc.options.rr_depth == 3
+
+
+def _bump_scene(bump):
+    """Tilted camera over a lit plane; bump > 0 perturbs shading normals."""
+    scene = Scene()
+    scene.sky = Sky(
+        horizon=np.array([1.0, 0.2, 0.2], np.float32),
+        zenith=np.array([0.2, 0.2, 1.0], np.float32),
+    )
+    scene.camera = Camera(position=np.array([0.0, 2.0, 4.0], np.float32))
+    scene.add_primitive(
+        Primitive(
+            type=PLANE,
+            plane=np.array([0, 1, 0, 0], np.float32),
+            material=Material(
+                color=np.full(3, 0.8, np.float32),
+                specular=0.0,
+                roughness=1.0,
+                bump=bump,
+                bump_tile=4.0,
+            ),
+        )
+    )
+    scene.options = Options(width=32, height=32, max_depth=2)
+    return scene
+
+
+def test_bump_mapping_perturbs_shading():
+    """Working Perlin bump mapping (the reference declares bump/bumpTile
+    but never evaluates them — render.cu:588 is dead code). On a flat
+    plane under a gradient sky, bump must (a) change the render, (b) add
+    spatial variation at noise scale, while (c) bump=0 stays bit-equal to
+    a scene without the fields (static has_bump gate)."""
+    flat_img = _resolve_mean(render(_bump_scene(0.0), spp=24, seed=5))
+    bump_img = _resolve_mean(render(_bump_scene(0.4), spp=24, seed=5))
+    assert np.isfinite(bump_img).all()
+    lower = (slice(20, 32), slice(4, 28))
+    diff = np.abs(bump_img[lower] - flat_img[lower]).mean()
+    assert diff > 1e-3, diff  # (a) bump changed the shading
+    # (b) shading normals actually vary: the noise-free normals debug view
+    # is flat without bump, spatially varying with it
+    sc = _bump_scene(0.4)
+    sc.options.mode = "normals"
+    nrm = _resolve_mean(render(sc, spp=1, seed=0, options=sc.options))
+    sc0 = _bump_scene(0.0)
+    sc0.options.mode = "normals"
+    nrm0 = _resolve_mean(render(sc0, spp=1, seed=0, options=sc0.options))
+    assert nrm0[lower].std(axis=(0, 1)).max() < 1e-4  # flat plane
+    assert nrm[lower].std(axis=(0, 1)).max() > 0.02  # bumped plane
+    # (c) zero-bump scene flattens with has_bump=False -> identical jaxpr
+    assert not _bump_scene(0.0).flatten().has_bump
+    assert _bump_scene(0.4).flatten().has_bump
+
+
+def test_bump_tin_keys_parse(tmp_path):
+    src = """
+material bumpy
+{
+    color 0.5 0.5 0.5
+    bump 0.3
+    bumpTile 6.0
+}
+primitive
+{
+    type plane
+    plane 0 1 0 0
+    material bumpy
+}
+"""
+    path = tmp_path / "bump.tin"
+    path.write_text(src)
+    from tinsel_tpu.scene.loaders.tin import load_tin
+
+    sc = load_tin(str(path))
+    m = sc.primitives[0].material
+    assert m.bump == np.float32(0.3) and m.bump_tile == 6.0

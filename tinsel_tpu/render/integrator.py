@@ -143,6 +143,11 @@ def _make_bounce(scene: SceneFlat, times, key, r, rr_depth: int = 0):
 
         p = o + d * t_safe[..., None]
         n = hit.normal
+        if scene.has_bump:  # static gate: bump-free scenes compile nothing
+            from .bump import bump_normal
+
+            bmp = ohpick(scene.prim_bump)
+            n = bump_normal(n, p, bmp[..., 0], bmp[..., 1])
 
         # emission: direct at depth 0; MIS-weighted on BSDF rays after
         lsamp = scene.prim_light_samples[idx]  # int lookup: gather, no grad
@@ -304,7 +309,16 @@ def path_trace_while(scene: SceneFlat, origins, dirs, times, max_depth: int,
 def trace_normals(scene: SceneFlat, origins, dirs, times):
     """Normals debug view (render.cpp:494-515): n*0.5+0.5, black on miss."""
     hit = trace_closest(scene, origins, dirs, times)
-    n = hit.normal * 0.5 + 0.5
+    n = hit.normal
+    if scene.has_bump:  # show the shading normal the integrator uses
+        from .bump import bump_normal
+
+        t_safe = jnp.where(hit.prim >= 0, hit.t, 0.0)
+        bmp = scene.prim_bump[jnp.maximum(hit.prim, 0)]
+        n = bump_normal(
+            n, origins + dirs * t_safe[..., None], bmp[..., 0], bmp[..., 1]
+        )
+    n = n * 0.5 + 0.5
     return jnp.where((hit.prim >= 0)[..., None], n, 0.0)
 
 

@@ -202,6 +202,7 @@ class _TinParser:
             "sheen": "sheen", "sheenTint": "sheen_tint",
             "clearcoat": "clearcoat", "clearcoatGloss": "clearcoat_gloss",
             "transmission": "transmission", "eta": "eta",
+            "bump": "bump", "bumpTile": "bump_tile",
         }
         for line in body:
             t = line.split()

@@ -67,6 +67,11 @@ class Material:
     clearcoat: float = 0.0
     clearcoat_gloss: float = 1.0
     transmission: float = 0.0
+    # procedural Perlin bump map (scene.h:97-99 bump/bumpTile; the
+    # reference's evaluation path is dead code — render.cu:588
+    # EvaluateBumpNormal is never called — this one works, render/bump.py)
+    bump: float = 0.0
+    bump_tile: float = 10.0
 
     def index_of_refraction(self) -> float:
         if self.eta == 0.0:
@@ -353,9 +358,13 @@ class SceneFlat:
     prim_type: jax.Array = None  # (P,) i32
     prim_light_samples: jax.Array = None  # (P,) i32
     prim_local_area: jax.Array = None  # (P,) f32 (sphere: 4πr²; mesh: local area)
+    prim_bump: jax.Array = None  # (P, 2) f32 [strength, tile]
     # static structure
     prim_static: tuple = field(metadata=dict(static=True), default=())
     light_indices: tuple = field(metadata=dict(static=True), default=())
+    has_bump: bool = field(metadata=dict(static=True), default=False)
+    # static: compiles the Perlin bump-normal evaluation only when some
+    # material actually uses it, so bump-free scenes pay nothing
 
     @property
     def num_prims(self) -> int:
@@ -570,6 +579,12 @@ class Scene:
                 [p.light_samples for p in prims], jnp.int32
             ),
             prim_local_area=jnp.asarray(local_area, jnp.float32),
+            prim_bump=jnp.asarray(
+                [[p.material.bump, p.material.bump_tile] for p in prims]
+                or np.zeros((1, 2)),
+                jnp.float32,
+            ),
             prim_static=tuple(prim_static),
             light_indices=light_indices,
+            has_bump=any(p.material.bump > 0.0 for p in prims),
         )
