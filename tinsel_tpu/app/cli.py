@@ -30,6 +30,13 @@ def build_parser():
     p.add_argument("-maxdepth", type=int, default=None)
     p.add_argument("-clamp", type=float, default=None)
     p.add_argument(
+        "-adaptive", type=float, default=0.0, metavar="FRAC",
+        help="adaptive sampling: each round spends the whole sample batch "
+        "on the FRAC highest-variance 16x16 tiles (0 disables; an "
+        "extension — the reference samples uniformly forever). "
+        "Incompatible with -view/-checkpoint/-progressive",
+    )
+    p.add_argument(
         "-rr", type=int, default=None, metavar="N",
         help="Russian-roulette start bounce (unbiased early termination "
         "of low-throughput paths; the reference has none — 0 disables, "
@@ -120,6 +127,31 @@ def render_one(scene, args, out_path: str):
     key = jax.random.key(args.seed)
 
     spp = o.max_samples if o.mode == "pathtrace" else 1
+
+    if args.adaptive > 0.0 and o.mode == "pathtrace":
+        if args.checkpoint or args.resume or args.progressive:
+            raise SystemExit(
+                "-adaptive does not combine with -checkpoint/-resume/"
+                "-progressive (per-tile counts are not checkpointed)"
+            )
+        from ..render.adaptive import adaptive_render
+
+        t0 = time.perf_counter()
+        accum = adaptive_render(
+            scene, budget_spp=spp, seed=args.seed, options=o,
+            frac=args.adaptive,
+        )
+        accum.block_until_ready()
+        dt = time.perf_counter() - t0
+        print(
+            f"adaptive: {spp} avg spp in {dt:.2f}s "
+            f"({dt / max(spp, 1) * 1e3:.1f} ms/spp)"
+        )
+        img = np.asarray(resolve(accum, exposure=o.exposure,
+                                 limit=o.limit, tonemap=args.tonemap))
+        write_png(out_path, img)
+        print(f"wrote {out_path}")
+        return
     chunk = max(1, min(spp, (1 << 20) // max(o.width * o.height, 1)))
     if args.progressive:
         chunk = max(1, min(chunk, args.progressive))
