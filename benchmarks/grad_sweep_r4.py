@@ -73,6 +73,33 @@ def main():
             )
     integ.REMAT_SAVE_NAMES = ("hit",)
 
+    # single-dispatch gradient accumulation: scan n chunks of 4 spp inside
+    # one jit (diff/gradients.py render_loss_and_grads_scan) — removes the
+    # ~3-10 ms/dispatch tunnel overhead between chunks
+    from tinsel_tpu.diff.gradients import render_loss_and_grads_scan
+
+    for n_chunks in (4, 8):
+        opts = dict(
+            width=width, height=height, max_depth=max_depth,
+            samples_per_pass=4,
+        )
+        fn = jax.jit(
+            lambda f, c, k, opts=opts, n=n_chunks:
+            render_loss_and_grads_scan(f, c, k, target, n, **opts)
+        )
+        loss, _ = fn(flat, cam, key)
+        np.asarray(loss)
+        t0 = time.perf_counter()
+        loss, grads = fn(flat, cam, key)
+        np.asarray(loss)
+        dt = time.perf_counter() - t0
+        rate = rays_per_spp * 4 * n_chunks / dt
+        print(
+            f"scan-accum n={n_chunks} x 4spp: {dt*1e3:7.1f} ms  "
+            f"{rate/1e6:6.1f} M rays/s",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -156,3 +156,26 @@ def test_remat_save_sets_bit_equal():
     assert base_loss == wide_loss
     for a, b in zip(base_gm, wide_gm):
         np.testing.assert_array_equal(a, b)
+
+
+def test_grad_scan_accumulation_matches_chunk_mean():
+    """render_loss_and_grads_scan (one-dispatch gradient accumulation)
+    equals the arithmetic mean of the per-chunk results."""
+    from tinsel_tpu.diff.gradients import (
+        render_loss_and_grads, render_loss_and_grads_scan,
+    )
+
+    flat, cam, key, target, opts = _setup(w=8, h=8, depth=2)
+    ls, gs = render_loss_and_grads_scan(flat, cam, key, target, 3, **opts)
+    acc_l, acc_g = 0.0, None
+    for c in range(3):
+        l, g = render_loss_and_grads(
+            flat, cam, jax.random.fold_in(key, c), target, **opts
+        )
+        acc_l += float(l)
+        acc_g = g if acc_g is None else jax.tree.map(jnp.add, acc_g, g)
+    assert abs(float(ls) - acc_l / 3) < 1e-6
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(acc_g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b) / 3, rtol=1e-5, atol=1e-7
+        )

@@ -52,3 +52,33 @@ def render_loss_and_grads(scene: SceneFlat, cam, key, target, **opts):
         return render_loss(s, camera, key, target, **opts)
 
     return jax.value_and_grad(loss_fn, argnums=(0, 1))(scene.materials, cam)
+
+
+def render_loss_and_grads_scan(scene: SceneFlat, cam, key, target,
+                               n_chunks: int, **opts):
+    """Gradient-accumulation training step: `n_chunks` independent
+    render_loss_and_grads evaluations averaged inside ONE jitted scan —
+    one dispatch instead of n (each dispatch costs ~3-10 ms on a tunneled
+    runtime), with the per-chunk remat policy unchanged. Returns
+    (mean loss, (mean grad_materials, mean grad_camera)); equals the
+    arithmetic mean of the per-chunk results exactly (same keys via
+    fold_in(key, chunk))."""
+
+    def one(carry, c):
+        loss, grads = render_loss_and_grads(
+            scene, cam, jax.random.fold_in(key, c), target, **opts
+        )
+        acc_l, acc_g = carry
+        return (acc_l + loss, jax.tree.map(jnp.add, acc_g, grads)), None
+
+    zero_g = jax.tree.map(
+        jnp.zeros_like,
+        jax.eval_shape(
+            lambda: render_loss_and_grads(scene, cam, key, target, **opts)
+        )[1],
+    )
+    (tl, tg), _ = jax.lax.scan(
+        one, (jnp.float32(0.0), zero_g), jnp.arange(n_chunks)
+    )
+    n = float(n_chunks)
+    return tl / n, jax.tree.map(lambda g: g / n, tg)
