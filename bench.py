@@ -28,7 +28,38 @@ import jax.numpy as jnp
 R1_FWD_RAYS_PER_SEC = 84_000_000.0
 
 
+def _probe_device(timeout_s: int = 180) -> bool:
+    """Check the default JAX backend initializes, from a SUBPROCESS with a
+    timeout — a dead axon tunnel hangs device init forever inside the
+    process, which would hang the whole benchmark run."""
+    import os
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            env=dict(os.environ),
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 def main():
+    import os
+
+    degraded = None
+    if not _probe_device():
+        # honest fallback: the TPU tunnel is down — measure on CPU and say
+        # so, rather than hanging or printing nothing
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        degraded = "tpu unavailable (device init timed out); CPU fallback"
+
     from tinsel_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -38,7 +69,7 @@ def main():
     from tinsel_tpu.render.camera import CameraParams
     from tinsel_tpu.diff.gradients import render_loss_and_grads
 
-    width = height = 256
+    width = height = 256 if not degraded else 64  # CPU fallback shrinks
     max_depth = 4
     scene = cornell_scene(width=width, height=height, max_depth=max_depth)
     flat = scene.flatten()
@@ -46,7 +77,7 @@ def main():
     n_lights = len(flat.light_indices)
     rays_per_pass = width * height * max_depth * (1 + n_lights)
 
-    spp_chunk = 16
+    spp_chunk = 16 if not degraded else 4
     step = make_accumulate_fn(scene.options, spp_chunk)
     key = jax.random.key(0)
     acc0 = jnp.zeros((height, width, 4), jnp.float32)
@@ -54,7 +85,7 @@ def main():
     # warmup / compile (with real sync)
     np.asarray(step(acc0, flat, cam, key, 0))
 
-    n_chunks = 8
+    n_chunks = 8 if not degraded else 2
     t0 = time.perf_counter()
     acc = acc0
     for c in range(n_chunks):
@@ -80,7 +111,7 @@ def main():
         )
     )
     np.asarray(grad_fn(flat, cam, key, 0)[0])
-    n_grad = 4
+    n_grad = 4 if not degraded else 1
     t0 = time.perf_counter()
     for s in range(n_grad):
         loss, _ = grad_fn(flat, cam, key, s)
@@ -104,7 +135,9 @@ def main():
     bwd_ratio_matched = dt_g / dt_fm
 
     # secondary: large-mesh BVH closest-hit (524k-tri sphere, 65k rays)
-    bigmesh_mrays = _bigmesh_metric()
+    # (skipped in CPU fallback: a 524k-tri traversal takes tens of minutes
+    # off-accelerator and measures nothing about the framework)
+    bigmesh_mrays = _bigmesh_metric() if not degraded else 0.0
 
     # speed-of-light accounting (see README "Speed of light" for the model)
     hbm_gbps = _measure_hbm_bw()
@@ -112,10 +145,12 @@ def main():
     fwd_sol_rays = hbm_gbps * 1e9 / _FWD_BYTES_PER_RAY
 
     platform = jax.devices()[0].platform
+    if degraded:
+        platform = f"{platform} [{degraded}]"
     print(
         json.dumps(
             {
-                "metric": "cornell_256_d4_forward_rays_per_sec",
+                "metric": f"cornell_{width}_d{max_depth}_forward_rays_per_sec",
                 "value": round(fwd_rays_per_sec),
                 "unit": "rays/s",
                 "vs_baseline": round(fwd_rays_per_sec / R1_FWD_RAYS_PER_SEC, 3),
@@ -127,7 +162,7 @@ def main():
                 "bigmesh_sol_mrays_per_sec": round(bigmesh_sol_mrays, 1),
                 "bigmesh_sol_fraction": round(
                     bigmesh_mrays / bigmesh_sol_mrays, 4
-                ),
+                ) if bigmesh_mrays else 0.0,
                 "fwd_sol_rays_per_sec": round(fwd_sol_rays),
                 "fwd_sol_fraction": round(fwd_rays_per_sec / fwd_sol_rays, 4),
                 "platform": platform,
