@@ -201,3 +201,30 @@ def test_resolve_reinhard_consumes_limit():
     film = np.asarray(resolve(accum, tonemap="filmic", limit=0.5))
     film2 = np.asarray(resolve(accum, tonemap="filmic", limit=4.0))
     np.testing.assert_array_equal(film, film2)  # filmic ignores limit
+
+
+def test_aov_passes(tmp_path):
+    """AOV extension: one deterministic trace yields unit normals, positive
+    depth on hits, material albedo; PFMs round-trip losslessly."""
+    import jax
+
+    from tinsel_tpu.scene.presets import cornell_scene
+    from tinsel_tpu.render.camera import CameraParams
+    from tinsel_tpu.render.aov import render_aovs, write_aovs
+    from tinsel_tpu.io.hdr import load_pfm
+
+    scene = cornell_scene(width=24, height=24, max_depth=2)
+    flat = scene.flatten()
+    cam = CameraParams.from_host(scene.camera)
+    aovs = jax.jit(lambda f, c: render_aovs(f, c, 24, 24))(flat, cam)
+    n = np.asarray(aovs["normal"])
+    d = np.asarray(aovs["depth"])
+    a = np.asarray(aovs["albedo"])
+    hit = d[..., 0] > 0
+    assert hit.mean() > 0.9  # closed box: nearly every pixel hits
+    assert np.allclose(np.linalg.norm(n[hit], axis=-1), 1.0, atol=1e-3)
+    assert a[hit].max() > 0.5  # wall albedos present
+    paths = write_aovs(str(tmp_path / "x"), aovs)
+    normal_path = next(p for p in paths if p.endswith("_normal.pfm"))
+    back = load_pfm(normal_path)
+    np.testing.assert_array_equal(back, np.asarray(aovs["normal"]))

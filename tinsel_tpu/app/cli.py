@@ -30,6 +30,11 @@ def build_parser():
     p.add_argument("-maxdepth", type=int, default=None)
     p.add_argument("-clamp", type=float, default=None)
     p.add_argument(
+        "-aov", action="store_true",
+        help="also write per-pixel normal/depth/albedo AOV PFMs next to "
+        "the output image (denoiser guide channels; extension)",
+    )
+    p.add_argument(
         "-adaptive", type=float, default=0.0, metavar="FRAC",
         help="adaptive sampling: each round spends the whole sample batch "
         "on the FRAC highest-variance 16x16 tiles (0 disables; an "
@@ -214,6 +219,12 @@ def render_one(scene, args, out_path: str):
 
     _wp(out_path, img)
     print(f"wrote {out_path}")
+    if args.aov:
+        from ..render.aov import render_aovs, write_aovs
+
+        base = os.path.splitext(out_path)[0]
+        for pth in write_aovs(base, render_aovs(flat, cam, o.width, o.height)):
+            print(f"wrote {pth}")
 
 
 def main(argv=None):
