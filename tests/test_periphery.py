@@ -228,3 +228,38 @@ def test_aov_passes(tmp_path):
     normal_path = next(p for p in paths if p.endswith("_normal.pfm"))
     back = load_pfm(normal_path)
     np.testing.assert_array_equal(back, np.asarray(aovs["normal"]))
+
+
+def test_guided_nlm_preserves_edges():
+    """Joint NLM with AOV guides must smooth noise while holding a hard
+    albedo edge that plain NLM at equal strength blurs across."""
+    import jax
+    from tinsel_tpu.render.nlm import nlm_filter, nlm_guided
+
+    h = w = 32
+    rng = np.random.default_rng(0)
+    edge = (np.arange(w) >= w // 2).astype(np.float32)
+    clean = np.repeat(edge[None, :], h, axis=0)[..., None] * np.ones(3)
+    noisy = clean + rng.normal(0, 0.25, clean.shape).astype(np.float32)
+    albedo = clean.astype(np.float32)
+    normal = np.zeros((h, w, 3), np.float32)
+    normal[..., 2] = 1.0
+    depth = np.ones((h, w, 1), np.float32)
+
+    g = np.asarray(nlm_guided(
+        jax.numpy.asarray(noisy), normal, albedo, depth,
+        falloff=2.0, radius=2,
+    ))
+    p = np.asarray(nlm_filter(jax.numpy.asarray(noisy), falloff=2.0,
+                              radius=2))
+    # noise removal: both cut variance on the flat halves
+    flat_region = (slice(4, 28), slice(2, 12))
+    assert g[flat_region].std() < noisy[flat_region].std() * 0.6
+    # edge retention: guided keeps the step much sharper
+    def edge_sharpness(img):
+        return float(
+            np.abs(img[:, w // 2] - img[:, w // 2 - 1]).mean()
+        )
+    assert edge_sharpness(g) > 2.0 * edge_sharpness(p), (
+        edge_sharpness(g), edge_sharpness(p),
+    )

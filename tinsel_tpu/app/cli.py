@@ -66,6 +66,11 @@ def build_parser():
     p.add_argument("-tonemap", choices=["filmic", "reinhard"], default="filmic",
                    help="display transform; reinhard consumes options.limit")
     p.add_argument("-denoise", action="store_true", help="NLM pass on output")
+    p.add_argument(
+        "-denoise-guided", action="store_true",
+        help="joint NLM guided by normal/depth/albedo AOVs (extension; "
+        "implies an AOV trace)",
+    )
     p.add_argument("-nlm-falloff", type=float, default=200.0)
     p.add_argument("-nlm-radius", type=int, default=1)
     p.add_argument("-checkpoint", default=None, help="checkpoint file path")
@@ -212,7 +217,16 @@ def render_one(scene, args, out_path: str):
     else:
         img = resolve(accum, exposure=o.exposure, limit=o.limit,
                       tonemap=args.tonemap)
-        if args.denoise:
+        if args.denoise_guided:
+            from ..render.aov import render_aovs
+            from ..render.nlm import nlm_guided
+
+            aovs = render_aovs(flat, cam, o.width, o.height)
+            img = nlm_guided(
+                jnp.asarray(img), aovs["normal"], aovs["albedo"],
+                aovs["depth"], falloff=args.nlm_falloff,
+            )
+        elif args.denoise:
             img = nlm_denoise(img, args.nlm_falloff, args.nlm_radius)
         img = np.asarray(img)
     from ..io.png import write_png as _wp

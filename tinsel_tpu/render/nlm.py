@@ -53,3 +53,42 @@ def nlm_filter(img, falloff: float = 200.0, radius: int = 1):
             acc = acc + _shift2d(img, dy, dx) * wgt[..., None]
             wsum = wsum + wgt
     return acc / jnp.maximum(wsum, 1e-12)[..., None]
+
+
+def nlm_guided(img, normal, albedo, depth, falloff: float = 200.0,
+               radius: int = 2, f_normal: float = 8.0, f_albedo: float = 50.0,
+               f_depth: float = 1.0):
+    """Joint (guided) non-local means: weights combine the color-patch
+    distance with NORMAL / ALBEDO / DEPTH guide distances from the AOV
+    passes (render/aov.py) — an extension over the reference's color-only
+    NLM (nlm.cpp:33-73) that keeps geometric and texture edges crisp at
+    much stronger smoothing. Depth distance is relative (scale-free).
+
+    img: (H, W, 3) tonemapped; normal (H, W, 3); albedo (H, W, 3);
+    depth (H, W, 1). Differentiable w.r.t. img like nlm_filter.
+    """
+    h, w = img.shape[:2]
+    means = average_filter(img, 1)
+    dmax = jnp.maximum(jnp.max(depth), 1e-6)
+    dn = depth / dmax
+    acc = jnp.zeros_like(img)
+    wsum = jnp.zeros((h, w), jnp.float32)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            m = _valid_mask(h, w, dy, dx)
+            d2 = jnp.sum((means - _shift2d(means, dy, dx)) ** 2, axis=-1)
+            g2 = (
+                f_normal * jnp.sum(
+                    (normal - _shift2d(normal, dy, dx)) ** 2, axis=-1
+                )
+                + f_albedo * jnp.sum(
+                    (albedo - _shift2d(albedo, dy, dx)) ** 2, axis=-1
+                )
+                + f_depth * jnp.sum(
+                    (dn - _shift2d(dn, dy, dx)) ** 2, axis=-1
+                )
+            )
+            wgt = jnp.where(m, jnp.exp(-falloff * d2 - g2), 0.0)
+            acc = acc + _shift2d(img, dy, dx) * wgt[..., None]
+            wsum = wsum + wgt
+    return acc / jnp.maximum(wsum, 1e-12)[..., None]
