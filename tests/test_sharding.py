@@ -100,3 +100,41 @@ def test_sharded_train_step_grads_match_unsharded(setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
         )
+
+
+def test_pipeline_parallel_matches_scan_backend():
+    """Bounce-stage pipeline parallelism (parallel/pipeline.py): one device
+    per depth, state handed over ppermute. At one microbatch the result
+    must match the scan integrator to float-reassociation precision; at
+    four microbatches (different RNG shapes) it must stay finite and agree
+    in the mean."""
+    import jax.numpy as jnp
+
+    from tinsel_tpu.scene.presets import cornell_scene
+    from tinsel_tpu.render.camera import CameraParams, generate_rays
+    from tinsel_tpu.render.integrator import path_trace
+    from tinsel_tpu.parallel.pipeline import (
+        make_stage_mesh, path_trace_pipelined,
+    )
+
+    scene = cornell_scene(width=16, height=16, max_depth=4)
+    flat = scene.flatten()
+    cam = CameraParams.from_host(scene.camera)
+    xs = jnp.arange(16, dtype=jnp.float32) + 0.5
+    raster = jnp.stack(jnp.meshgrid(xs, xs), -1).reshape(-1, 2)
+    o, d = generate_rays(cam, 16, 16, raster)
+    times = jnp.zeros((256,))
+    key = jax.random.key(7)
+
+    ref = np.asarray(path_trace(flat, o, d, times, 4, key))
+    mesh = make_stage_mesh(4)
+    out1 = np.asarray(
+        path_trace_pipelined(flat, o, d, times, 4, key, mesh, n_micro=1)
+    )
+    np.testing.assert_allclose(out1, ref, atol=1e-5)
+
+    out4 = np.asarray(
+        path_trace_pipelined(flat, o, d, times, 4, key, mesh, n_micro=4)
+    )
+    assert np.isfinite(out4).all()
+    assert abs(out4.mean() - ref.mean()) < 0.05
