@@ -116,11 +116,17 @@ def path_trace_pipelined(scene: SceneFlat, origins, dirs, times,
             jnp.where(stage == n_stages - 1, out, 0.0), "stage"
         )
 
+    import inspect
+
+    params = inspect.signature(shard_map).parameters
+    nocheck = {
+        ("check_vma" if "check_vma" in params else "check_rep"): False
+    }
     fn = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        **nocheck,
     )
     return fn(scene, origins, dirs, times, key)
