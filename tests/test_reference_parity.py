@@ -41,11 +41,18 @@ CASES = [
         "tests/goldens/ref_cornell_64x64_s128.pfm",
         128, 64, 64, 0.025, 0.08,
     ),
+    # glossy-floor MIS (three roughness plates x three light sizes):
+    # measured 2026-08-17 global ratio 0.9988, worst region 3.2%
+    (
+        "scenes/gloss.tin",
+        "tests/goldens/ref_gloss_96x64_s128.pfm",
+        128, 96, 64, 0.02, 0.05,
+    ),
 ]
 
 
 @pytest.mark.parametrize("scene_path,golden,spp,w,h,ratio_tol,region_tol",
-                         CASES, ids=["simple", "cornell"])
+                         CASES, ids=["simple", "cornell", "gloss"])
 def test_reference_parity(scene_path, golden, spp, w, h, ratio_tol,
                           region_tol):
     ref = load_pfm(os.path.join(ROOT, golden))[::-1]  # bottom-up scanlines
