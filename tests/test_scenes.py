@@ -180,3 +180,38 @@ def test_many_mesh_trace_matches_per_mesh_oracle():
     both = np.array([p in mesh_ids for p in hp]) & (best_prim >= 0)
     np.testing.assert_array_equal(hp[both], best_prim[both])
     np.testing.assert_allclose(ht[both], best_t[both], rtol=1e-5)
+
+
+def test_power_light_sampling_matches_all():
+    """'power' NEE (one power-CDF-selected light per lane, one shadow ray
+    per bounce — tinsel has no analog) must agree with the parity 'all'
+    strategy (one shadow ray per light) in the mean on the 4-emitter
+    veach scene, per region."""
+    import dataclasses
+
+    from tinsel_tpu.scene.loaders.tin import load_tin
+    from tinsel_tpu.render.renderer import render
+
+    scene = load_tin(os.path.join(SCENES_DIR, "veach.tin"))
+    assert len(scene.flatten().light_indices) >= 4
+
+    # unclamped: per-sample radiance clamping interacts with power
+    # mode's heavier tails (1/pmf amplification) and would bias the
+    # comparison — the unbiasedness contract is for the raw estimator
+    imgs = {}
+    for mode in ("all", "power"):
+        opts = dataclasses.replace(
+            scene.options, width=48, height=48, max_depth=2,
+            light_sampling=mode, clamp=float("inf"),
+        )
+        acc = np.asarray(render(scene, spp=320, seed=9, options=opts))
+        imgs[mode] = acc[..., :3] / np.maximum(acc[..., 3:4], 1e-7)
+    a, p = imgs["all"], imgs["power"]
+    ratio = p.mean() / a.mean()
+    assert abs(ratio - 1.0) < 0.05, ratio
+    # region-level agreement (4x4 grid, relative to global mean)
+    for by in range(4):
+        for bx in range(4):
+            sl = (slice(by * 12, by * 12 + 12), slice(bx * 12, bx * 12 + 12))
+            err = abs(p[sl].mean() - a[sl].mean()) / max(a.mean(), 1e-9)
+            assert err < 0.15, (by, bx, err)

@@ -42,6 +42,12 @@ def build_parser():
         "Incompatible with -view/-checkpoint/-progressive",
     )
     p.add_argument(
+        "-lights", choices=["all", "power"], default=None,
+        help="NEE strategy: 'all' traces one shadow ray per light "
+        "(reference parity); 'power' picks one light per lane from a "
+        "power CDF — O(1) shadow traversals per bounce (extension)",
+    )
+    p.add_argument(
         "-rr", type=int, default=None, metavar="N",
         help="Russian-roulette start bounce (unbiased early termination "
         "of low-throughput paths; the reference has none — 0 disables, "
@@ -125,6 +131,8 @@ def render_one(scene, args, out_path: str):
         o.max_depth = args.maxdepth
     if args.rr is not None:
         o.rr_depth = args.rr
+    if args.lights is not None:
+        o.light_sampling = args.lights
     if args.clamp is not None:
         o.clamp = args.clamp
     if args.mode is not None:

@@ -77,7 +77,8 @@ def _initial_state(origins, dirs):
 RR_MIN_Q = 0.05  # survival-probability floor (firefly guard)
 
 
-def _make_bounce(scene: SceneFlat, times, key, r, rr_depth: int = 0):
+def _make_bounce(scene: SceneFlat, times, key, r, rr_depth: int = 0,
+                 light_sampling: str = "all"):
     """The integrator step shared by both backends (scan and while).
 
     rr_depth > 0 enables Russian-roulette termination from that bounce on
@@ -158,12 +159,21 @@ def _make_bounce(scene: SceneFlat, times, key, r, rr_depth: int = 0):
         has_area = area > 0.0
         cos_term = jnp.clip(dot(-d, n), 1e-3, 1.0)
         light_pdf = t_safe * t_safe / jnp.maximum(area * cos_term, 1e-12)
-        ns_e = lsamp.astype(f32) + K_BSDF_SAMPLES
-        c_b = K_BSDF_SAMPLES / ns_e
-        c_l = lsamp.astype(f32) / ns_e
-        w_em = c_b * st["bpdf"] / jnp.maximum(
-            c_b * st["bpdf"] + c_l * light_pdf, 1e-12
-        )
+        if light_sampling == "power":
+            # NEE picked ONE light with pmf; its pdf for this direction is
+            # pmf * area-pdf, one sample per strategy (coefficients cancel).
+            # Non-selected lights have pmf 0 -> weight 1 automatically.
+            pmf_hit = ohpick(scene.light_pmf)
+            w_em = st["bpdf"] / jnp.maximum(
+                st["bpdf"] + pmf_hit * light_pdf, 1e-12
+            )
+        else:
+            ns_e = lsamp.astype(f32) + K_BSDF_SAMPLES
+            c_b = K_BSDF_SAMPLES / ns_e
+            c_l = lsamp.astype(f32) / ns_e
+            w_em = c_b * st["bpdf"] / jnp.maximum(
+                c_b * st["bpdf"] + c_l * light_pdf, 1e-12
+            )
         w_em = jnp.where(st["rtype"] == SPECULAR, 1.0, w_em)
         # depth 0 -> weight 1; depth > 0 with zero area -> no emission pickup
         # (a BSDF ray can only have been light-sampled if the light has area)
@@ -178,7 +188,7 @@ def _make_bounce(scene: SceneFlat, times, key, r, rr_depth: int = 0):
         nee = checkpoint_name(
             sample_lights(
                 scene, m, st["eta"], out_eta, p, n, -d, times,
-                jax.random.fold_in(kb, 1),
+                jax.random.fold_in(kb, 1), light_sampling=light_sampling,
             ),
             "nee",
         )
@@ -236,7 +246,7 @@ def _make_bounce(scene: SceneFlat, times, key, r, rr_depth: int = 0):
 
 
 def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
-               rr_depth: int = 0):
+               rr_depth: int = 0, light_sampling: str = "all"):
     """Trace a batch of paths; returns (R, 3) radiance. The differentiable
     backend: `lax.scan` over bounces (reverse-mode needs the static loop
     structure), with a whole-bounce cond skip once every lane is dead so
@@ -246,7 +256,7 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
     derive from it by fold_in, independent across lanes by shape).
     """
     r = origins.shape[0]
-    bounce = _make_bounce(scene, times, key, r, rr_depth)
+    bounce = _make_bounce(scene, times, key, r, rr_depth, light_sampling)
     state = _initial_state(origins, dirs)
 
     def bounce_or_skip(st, i):
@@ -281,7 +291,7 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
 
 
 def path_trace_while(scene: SceneFlat, origins, dirs, times, max_depth: int,
-                     key, rr_depth: int = 0):
+                     key, rr_depth: int = 0, light_sampling: str = "all"):
     """Megakernel-style backend: one `lax.while_loop` over bounces that
     exits the moment every lane dies — the analog of the reference's GPU
     megakernel per-thread depth loop (render.cu:725-883), one of its
@@ -291,7 +301,7 @@ def path_trace_while(scene: SceneFlat, origins, dirs, times, max_depth: int,
     at equal seeds. Forward-only: while_loop has no reverse rule — use
     path_trace (scan) for gradients."""
     r = origins.shape[0]
-    bounce = _make_bounce(scene, times, key, r, rr_depth)
+    bounce = _make_bounce(scene, times, key, r, rr_depth, light_sampling)
     state = _initial_state(origins, dirs)
 
     def cond(carry):

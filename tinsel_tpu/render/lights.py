@@ -79,11 +79,18 @@ def primitive_sample(scene: SceneFlat, j: int, times, key):
     return pos, normal, area * jnp.ones(shape, jnp.float32)
 
 
-def sample_lights(scene: SceneFlat, mat, eta_i, eta_o, p, n, wo, times, key):
+def sample_lights(scene: SceneFlat, mat, eta_i, eta_o, p, n, wo, times, key,
+                  light_sampling: str = "all"):
     """Direct lighting at surface points p with shading normals n.
 
     mat: per-lane material record (MaterialsFlat.select of the hit prims).
     Returns (R, 3) radiance (NOT multiplied by throughput).
+
+    light_sampling="all" traces one shadow ray per light (reference
+    parity, render.cpp:175-227); "power" picks ONE light per lane from
+    the power-proportional CDF (SceneFlat.light_pmf) and traces a single
+    shadow ray — O(1) traversals per bounce regardless of light count,
+    unbiased, with the emission-hit MIS weight matched in the integrator.
     """
     total = jnp.zeros_like(p)
     shape = times.shape
@@ -116,6 +123,66 @@ def sample_lights(scene: SceneFlat, mat, eta_i, eta_o, p, n, wo, times, key):
         )
         ok = visible & (bpdf > 0.0) & (sky_pdf > 0.0) & (weight > 0.0)
         total = total + jnp.where(ok[..., None], contrib, 0.0) / K_PROBE_SAMPLES
+
+    if light_sampling == "power" and scene.light_indices:
+        li = list(scene.light_indices)
+        kl = jax.random.fold_in(key, draw)
+        draw += 1
+        pmf_l = jnp.stack([scene.light_pmf[j] for j in li])  # (L,)
+        cdf = jnp.cumsum(pmf_l)
+        u = jax.random.uniform(jax.random.fold_in(kl, 999), shape)
+        sel = jnp.clip(
+            jnp.searchsorted(cdf, u, side="right"), 0, len(li) - 1
+        )
+        # evaluate every light's candidate sample (cheap elementwise /
+        # CDF math), select the chosen one per lane; the expensive part —
+        # the shadow traversal — runs ONCE
+        pos = jnp.zeros_like(p)
+        nrm = jnp.zeros_like(p)
+        area = jnp.zeros(shape, jnp.float32)
+        pmf_sel = jnp.zeros(shape, jnp.float32)
+        for jj, j in enumerate(li):
+            pj, nj, aj = primitive_sample(
+                scene, j, times, jax.random.fold_in(kl, jj)
+            )
+            m = sel == jj
+            pos = jnp.where(m[..., None], pj, pos)
+            nrm = jnp.where(m[..., None], nj, nrm)
+            area = jnp.where(m, aj, area)
+            pmf_sel = jnp.where(m, pmf_l[jj], pmf_sel)
+
+        wi_un = pos - p
+        dist = jnp.sqrt(jnp.maximum(length_sq(wi_un), 1e-20))
+        wi = wi_un / dist[..., None]
+        shadow_o = p + face_forward(n, wi) * RAY_EPS
+        sh = trace_closest(scene, shadow_o, wi, times)
+        hit_any = sh.prim >= 0
+        t = jnp.where(hit_any, sh.t, 0.0)
+        accept = hit_any & (jnp.abs(t - dist) <= 1e-2)
+        nl = jnp.abs(dot(nrm, wi))
+        accept = accept & (nl >= 1e-6) & (pmf_sel > 0.0)
+
+        # selection pmf folds into the NEE pdf; one sample per strategy
+        # -> balance-heuristic coefficients are 1/2 each and cancel
+        light_pdf = pmf_sel * (t * t) / jnp.maximum(area * nl, 1e-12)
+        bpdf = bsdf_pdf(mat, eta_i, eta_o, n, wo, wi)
+        f = bsdf_eval(mat, eta_i, eta_o, n, wo, wi)
+        accept = accept & (bpdf > 0.0)
+        weight = light_pdf / jnp.maximum(bpdf + light_pdf, 1e-12)
+        oh_sh = jax.nn.one_hot(
+            jnp.maximum(sh.prim, 0), scene.num_prims, dtype=jnp.float32
+        )
+        emission = jnp.matmul(
+            oh_sh, scene.materials.emission,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        contrib = (
+            (weight * jnp.abs(dot(wi, n)) / jnp.maximum(light_pdf, 1e-3))[..., None]
+            * f
+            * emission
+        )
+        total = total + jnp.where(accept[..., None], contrib, 0.0)
+        return total
 
     for j in scene.light_indices:
         n_samples = scene.prim_static[j].light_samples

@@ -110,6 +110,7 @@ def render_pass(
     backend: str = "scan",
     sampler: str = "random",
     rr_depth: int = 0,
+    light_sampling: str = "all",
 ):
     """One pass of `samples_per_pass` spp -> (H, W, 4) RGBA increment."""
     s = samples_per_pass
@@ -130,6 +131,7 @@ def render_pass(
     radiance = integrate(
         scene, origins, dirs, times_flat, max_depth,
         jax.random.fold_in(key, 2), rr_depth=rr_depth,
+        light_sampling=light_sampling,
     )
     if math.isfinite(clamp):
         radiance = clamp_length(radiance, clamp)
@@ -160,6 +162,7 @@ def make_render_pass(options: Options, samples_per_pass: int = 1):
         backend=options.backend,
         sampler=getattr(options, "sampler", "random"),
         rr_depth=getattr(options, "rr_depth", 0),
+        light_sampling=getattr(options, "light_sampling", "all"),
     )
 
 

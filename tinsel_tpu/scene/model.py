@@ -45,6 +45,22 @@ PLANE = 1
 MESH = 2
 
 
+def _light_pmf(prims, local_area):
+    """Power-proportional light-selection pmf (luminance x world area),
+    normalized over emissive primitives; zero elsewhere."""
+    pmf = np.zeros(max(len(prims), 1), np.float64)
+    for i, p in enumerate(prims):
+        if p.light_samples > 0:
+            e = np.asarray(p.material.emission, np.float64)
+            lum = 0.3 * e[0] + 0.6 * e[1] + 0.1 * e[2]
+            s = float(p.start_transform.s)
+            pmf[i] = max(lum, 1e-12) * max(local_area[i] * s * s, 1e-12)
+    t = pmf.sum()
+    if t > 0:
+        pmf /= t
+    return pmf.astype(np.float32)
+
+
 # ---------------------------------------------------------------------- host
 
 
@@ -252,6 +268,10 @@ class Options:
     rr_depth: int = 0  # Russian-roulette start bounce; 0 = off (parity:
     # the reference runs every path to maxDepth, render.cpp:250). N>0
     # terminates low-throughput paths from bounce N on, unbiased.
+    light_sampling: str = "all"  # "all" (parity: one NEE shadow ray per
+    # light per bounce, render.cpp:175) | "power" (pick ONE light by a
+    # power-proportional CDF: O(1) shadow traversals per bounce however
+    # many lights the scene has; unbiased, MIS-consistent)
 
 
 # --------------------------------------------------------------------- device
@@ -359,6 +379,11 @@ class SceneFlat:
     prim_light_samples: jax.Array = None  # (P,) i32
     prim_local_area: jax.Array = None  # (P,) f32 (sphere: 4πr²; mesh: local area)
     prim_bump: jax.Array = None  # (P, 2) f32 [strength, tile]
+    light_pmf: jax.Array = None  # (P,) f32: power-proportional selection
+    # pmf over emissive prims (0 for non-lights) — used by the "power"
+    # light-sampling mode; any positive pmf is unbiased, so it is frozen
+    # at flatten time (luminance x world area) and NOT re-derived when
+    # materials are replaced during optimization
     # static structure
     prim_static: tuple = field(metadata=dict(static=True), default=())
     light_indices: tuple = field(metadata=dict(static=True), default=())
@@ -584,6 +609,7 @@ class Scene:
                 or np.zeros((1, 2)),
                 jnp.float32,
             ),
+            light_pmf=jnp.asarray(_light_pmf(prims, local_area), jnp.float32),
             prim_static=tuple(prim_static),
             light_indices=light_indices,
             has_bump=any(p.material.bump > 0.0 for p in prims),
