@@ -46,7 +46,11 @@ def _bench_scene(name, scene, spp, warm_spp=None):
     dt = time.perf_counter() - t0
     done = n_chunks * chunk
     n_lights = len(flat.light_indices)
-    rays = o.width * o.height * o.max_depth * (1 + n_lights) * done
+    n_shadow = (
+        min(1, n_lights)
+        if getattr(o, "light_sampling", "all") == "power" else n_lights
+    )
+    rays = o.width * o.height * o.max_depth * (1 + n_shadow) * done
     rec = {
         "config": name,
         "resolution": [o.width, o.height],
@@ -96,6 +100,15 @@ def main():
     den = np.asarray(nlm_filter(img, 200.0, 1))
     rec["nlm_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
     results.append(rec)
+    # 6. many-light strategy: veach with power-CDF single-light NEE vs
+    # the parity all-lights loop (4 emitters -> 4 shadow traversals
+    # become 1; spp/s ratio is the headline)
+    sc = load_tin(os.path.join(ROOT, "scenes", "veach.tin"))
+    sc.options = dataclasses.replace(
+        sc.options, width=256, height=256, light_sampling="power"
+    )
+    results.append(_bench_scene("veach_256_8spp_powerlights", sc, 8)[0])
+
     print(json.dumps({"config": "ALL", "results": len(results)}))
 
 
