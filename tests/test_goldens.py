@@ -20,7 +20,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 SCENES_DIR = os.path.join(os.path.dirname(__file__), "..", "scenes")
 CASES = [
     "simple", "cornell", "gloss", "transmission",
-    "veach", "meshlight", "motionblur", "env", "bump",
+    "veach", "meshlight", "motionblur", "env", "bump", "dof",
 ]
 
 

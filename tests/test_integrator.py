@@ -392,3 +392,55 @@ primitive
     sc = load_tin(str(path))
     m = sc.primitives[0].material
     assert m.bump == np.float32(0.3) and m.bump_tile == 6.0
+
+
+def test_depth_of_field():
+    """Thin-lens DOF (extension; the reference is pinhole-only): an
+    emissive sphere ON the focal plane stays sharp at a wide aperture,
+    one OFF the plane blurs; aperture 0 is bit-equal to the pinhole."""
+    def make(aperture, z):
+        scene = Scene()
+        scene.camera = Camera(
+            position=np.array([0.0, 0.0, 4.0], np.float32),
+            aperture=aperture,
+            focal_distance=4.0,  # plane z=0 in focus
+        )
+        scene.add_primitive(
+            Primitive(
+                type=SPHERE,
+                radius=0.5,
+                start_transform=HostTransform(
+                    p=np.array([0.0, 0.0, z], np.float32)
+                ),
+                material=Material(
+                    color=np.zeros(3, np.float32),
+                    emission=np.ones(3, np.float32) * 4.0,
+                ),
+            )
+        )
+        scene.options = Options(width=48, height=48, max_depth=1,
+                                filter_type="box")
+        img = _resolve_mean(render(scene, spp=64, seed=3,
+                                   options=scene.options))
+        return img
+
+    def sharpness(img):
+        # max gradient magnitude: crisp silhouettes score high, a blurred
+        # disk spreads the same energy over many weak edges
+        g = img.mean(axis=-1)
+        return float(max(np.abs(np.diff(g, axis=1)).max(),
+                         np.abs(np.diff(g, axis=0)).max()))
+
+    pin = make(0.0, 0.0)
+    pin2 = make(0.0, 0.0)
+    np.testing.assert_array_equal(pin, pin2)  # determinism
+    focus = make(0.35, 0.0)   # on the focal plane
+    defocus = make(0.35, 2.5)  # 2.5 closer than the focal plane
+
+    # a sphere on the focal plane keeps a crisp silhouette
+    assert sharpness(focus) > 0.6 * sharpness(pin)
+    # the defocused sphere's sharpest edge collapses vs its pinhole render
+    pin_near = make(0.0, 2.5)
+    assert sharpness(defocus) < 0.4 * sharpness(pin_near), (
+        sharpness(defocus), sharpness(pin_near),
+    )

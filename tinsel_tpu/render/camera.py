@@ -1,9 +1,13 @@
-"""Pinhole camera: raster -> world ray generation (util.h:45-83 parity).
+"""Camera: raster -> world ray generation (util.h:45-83 parity) plus a
+thin-lens depth-of-field extension the reference lacks (its CameraSampler
+is pinhole-only).
 
-Built in JAX (not host NumPy) so camera parameters (position, rotation, fov)
-stay differentiable inputs — camera gradients are part of the framework's
-contract. The matrix chain raster->screen->camera->world matches the
-reference's CameraSampler exactly.
+Built in JAX (not host NumPy) so camera parameters (position, rotation,
+fov, aperture, focal distance) stay differentiable inputs — camera
+gradients are part of the framework's contract. The matrix chain
+raster->screen->camera->world matches the reference's CameraSampler
+exactly; aperture = 0 (the default) reproduces the pinhole rays
+bit-for-bit (the lens branch selects per lane with jnp.where).
 """
 
 from __future__ import annotations
@@ -24,6 +28,8 @@ class CameraParams:
     fov: jax.Array  # () radians
     shutter_start: jax.Array  # ()
     shutter_end: jax.Array  # ()
+    aperture: jax.Array = None  # () lens radius; 0 = pinhole
+    focal_distance: jax.Array = None  # () distance to the focus plane
 
     @staticmethod
     def from_host(cam) -> "CameraParams":
@@ -33,6 +39,10 @@ class CameraParams:
             fov=jnp.asarray(cam.fov, jnp.float32),
             shutter_start=jnp.asarray(cam.shutter_start, jnp.float32),
             shutter_end=jnp.asarray(cam.shutter_end, jnp.float32),
+            aperture=jnp.asarray(getattr(cam, "aperture", 0.0), jnp.float32),
+            focal_distance=jnp.asarray(
+                getattr(cam, "focal_distance", 1.0), jnp.float32
+            ),
         )
 
 
@@ -63,8 +73,14 @@ def raster_to_world_matrix(cam: CameraParams, width: int, height: int):
     return cam_to_world @ screen_to_camera @ raster_to_screen, cam_to_world
 
 
-def generate_rays(cam: CameraParams, width: int, height: int, raster_xy):
-    """raster_xy (..., 2) float raster coordinates -> (origin, dir)."""
+def generate_rays(cam: CameraParams, width: int, height: int, raster_xy,
+                  lens_uv=None):
+    """raster_xy (..., 2) float raster coordinates -> (origin, dir).
+
+    lens_uv (..., 2) in [0,1): thin-lens samples for depth of field —
+    the origin shifts on the lens disk (radius cam.aperture) and the
+    direction is re-aimed at the pinhole ray's focal-plane point. With
+    aperture 0 (or lens_uv None) the pinhole rays come back bit-equal."""
     r2w, c2w = raster_to_world_matrix(cam, width, height)
     xy1 = jnp.concatenate(
         [
@@ -77,4 +93,26 @@ def generate_rays(cam: CameraParams, width: int, height: int, raster_xy):
     p = jnp.einsum("ij,...j->...i", r2w, xy1)[..., :3]
     origin = c2w[:3, 3]
     d = normalize(p - origin)
-    return jnp.broadcast_to(origin, d.shape), d
+    origin = jnp.broadcast_to(origin, d.shape)
+
+    ap = getattr(cam, "aperture", None)
+    if lens_uv is not None and ap is not None:
+        # concentric-free polar disk sample (adequate for a lens)
+        r = jnp.sqrt(lens_uv[..., 0]) * ap
+        phi = 2.0 * jnp.pi * lens_uv[..., 1]
+        lx = r * jnp.cos(phi)
+        ly = r * jnp.sin(phi)
+        u_ax = c2w[:3, 0]
+        v_ax = c2w[:3, 1]
+        offset = lx[..., None] * u_ax + ly[..., None] * v_ax
+        focus = origin + d * (
+            getattr(cam, "focal_distance", None) / jnp.maximum(
+                -jnp.einsum("...i,i->...", d, c2w[:3, 2]), 1e-6
+            )
+        )[..., None]
+        o_dof = origin + offset
+        d_dof = normalize(focus - o_dof)
+        use = ap > 0.0
+        origin = jnp.where(use, o_dof, origin)
+        d = jnp.where(use, d_dof, d)
+    return origin, d

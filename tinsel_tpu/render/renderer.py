@@ -116,7 +116,12 @@ def render_pass(
     s = samples_per_pass
     rx, ry, times = _sample_grid(width, height, cam, key, s, sampler)
     raster = jnp.stack([rx, ry], axis=-1).reshape(-1, 2)
-    origins, dirs = generate_rays(cam, width, height, raster)
+    # thin-lens DOF draws (a fresh stream; zero aperture ignores them and
+    # reproduces the pinhole rays bit-for-bit, render/camera.py)
+    lens_uv = jax.random.uniform(
+        jax.random.fold_in(key, 5), (s, height, width, 2)
+    ).reshape(-1, 2)
+    origins, dirs = generate_rays(cam, width, height, raster, lens_uv)
     times_flat = times.reshape(-1)
 
     if mode in ("normals", "complexity"):

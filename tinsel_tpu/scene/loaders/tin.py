@@ -169,6 +169,10 @@ class _TinParser:
                 target = np.asarray(v[:3], np.float32)
             elif k == "fov":
                 cam.fov = float(np.deg2rad(v[0]))
+            elif k == "aperture":  # extension: thin-lens DOF
+                cam.aperture = float(v[0])
+            elif k == "focaldistance":
+                cam.focal_distance = float(v[0])
             elif k == "shutterstart":
                 cam.shutter_start = v[0]
             elif k == "shutterend":

@@ -202,6 +202,10 @@ class Camera:
     fov: float = float(np.deg2rad(45.0))
     shutter_start: float = 0.0
     shutter_end: float = 1.0
+    # thin-lens depth of field (extension — the reference's CameraSampler
+    # is pinhole-only, util.h:45-83); aperture 0 keeps pinhole bit-parity
+    aperture: float = 0.0
+    focal_distance: float = 1.0
 
 
 @dataclasses.dataclass
