@@ -4,8 +4,12 @@ Flags mirror the reference CLI (main.cpp:143-171): `-spp= -width= -height=
 -exposure= -maxdepth=` plus `-convert` (mesh -> cache). Batch animation mode
 triggers on a `%d` pattern in the scene filename (main.cpp:105-118): each
 frame renders to completion and writes `frame_N.png`. Additions over the
-reference: `-o` output path, `-mode normals`, `-denoise` (NLM pass),
-`-checkpoint/-resume` for preemptible renders, `-seed`.
+reference: `-o` output path, `-mode normals`, `-denoise` (NLM pass) and
+`-denoise-guided` (AOV-guided joint NLM), `-aov` (normal/depth/albedo
+PFMs), `-checkpoint/-resume` for preemptible renders, `-seed`,
+`-sampler` (stratified/blue-noise), `-rr` (Russian roulette),
+`-adaptive` (variance-driven tile sampling), `-lights power` (power-CDF
+single-light NEE), `-view` (interactive HTTP viewer with fly camera).
 """
 
 from __future__ import annotations
