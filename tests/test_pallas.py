@@ -32,3 +32,37 @@ def test_nlm_denoise_dispatcher_runs():
     out = np.asarray(nlm_denoise(img))
     assert out.shape == (16, 16, 3)
     assert np.isfinite(out).all()
+
+
+def test_pallas_guided_nlm_matches_xla():
+    from tinsel_tpu.render.nlm import nlm_guided
+    from tinsel_tpu.ops.pallas.nlm import nlm_guided_pallas
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((33, 49, 3)).astype(np.float32))
+    normal = jnp.asarray(rng.normal(size=(33, 49, 3)).astype(np.float32))
+    normal = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    albedo = jnp.asarray(rng.random((33, 49, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.random((33, 49, 1)).astype(np.float32) * 7)
+    a = np.asarray(nlm_guided(img, normal, albedo, depth, falloff=40.0))
+    b = np.asarray(nlm_guided_pallas(img, normal, albedo, depth,
+                                     falloff=40.0))
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_pallas_guided_nlm_gradients_match():
+    from tinsel_tpu.render.nlm import nlm_guided
+    from tinsel_tpu.ops.pallas.nlm import nlm_guided_pallas
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((17, 24, 3)).astype(np.float32))
+    normal = jnp.zeros((17, 24, 3), jnp.float32).at[..., 2].set(1.0)
+    albedo = jnp.asarray(rng.random((17, 24, 3)).astype(np.float32))
+    depth = jnp.ones((17, 24, 1), jnp.float32)
+    g1 = jax.grad(
+        lambda x: jnp.sum(nlm_guided(x, normal, albedo, depth) ** 2)
+    )(img)
+    g2 = jax.grad(
+        lambda x: jnp.sum(nlm_guided_pallas(x, normal, albedo, depth) ** 2)
+    )(img)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5)

@@ -231,10 +231,10 @@ def render_one(scene, args, out_path: str):
                       tonemap=args.tonemap)
         if args.denoise_guided:
             from ..render.aov import render_aovs
-            from ..render.nlm import nlm_guided
+            from ..ops.pallas.nlm import nlm_guided_denoise
 
             aovs = render_aovs(flat, cam, o.width, o.height)
-            img = nlm_guided(
+            img = nlm_guided_denoise(
                 jnp.asarray(img), aovs["normal"], aovs["albedo"],
                 aovs["depth"], falloff=args.nlm_falloff,
             )

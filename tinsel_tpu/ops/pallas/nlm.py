@@ -191,3 +191,184 @@ def nlm_denoise(img, falloff: float = 200.0, radius: int = 1):
     from ...render.nlm import nlm_filter
 
     return nlm_filter(img, falloff, radius)
+
+
+# ------------------------------------------------------- guided variant
+
+
+def _guided_band_kernel(*refs, falloff: float, f_normal: float,
+                        f_albedo: float, f_depth: float, radius: int,
+                        real_h: int, real_w: int, halo: int):
+    """One output band of the AOV-guided joint NLM (render/nlm.py
+    nlm_guided parity). Inputs: 10 HBM planes (rgb, normal xyz,
+    albedo xyz, normalized depth); outputs 3 band planes; scratch =
+    10 VMEM band buffers + 1 DMA semaphore."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ins = refs[:10]
+    outs = refs[10:13]
+    scratch = refs[13:23]
+    sem = refs[23]
+    i = pl.program_id(0)
+    bh, w = scratch[0].shape
+    band = bh - 2 * halo
+
+    for slot, (src, dst) in enumerate(zip(ins, scratch)):
+        pltpu.make_async_copy(
+            src.at[pl.ds(i * band, bh), :], dst, sem.at[slot]
+        ).start()
+    for slot, (src, dst) in enumerate(zip(ins, scratch)):
+        pltpu.make_async_copy(
+            src.at[pl.ds(i * band, bh), :], dst, sem.at[slot]
+        ).wait()
+
+    chans = tuple(s[:, :] for s in scratch[:3])
+    guides = tuple(s[:, :] for s in scratch[3:10])  # nx..nz ax..az dn
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + i * band - halo
+    xx = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
+
+    def valid(dy, dx):
+        return (
+            (yy + dy >= 0)
+            & (yy + dy < real_h)
+            & (xx + dx >= 0)
+            & (xx + dx < real_w)
+            & (yy >= 0)
+            & (yy < real_h)
+            & (xx < real_w)
+        )
+
+    # box mean of the color at radius 1 (nlm_guided uses average_filter(.,1))
+    cnt = jnp.zeros((bh, w), jnp.float32)
+    macc = [jnp.zeros((bh, w), jnp.float32) for _ in chans]
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            vf = valid(dy, dx).astype(jnp.float32)
+            cnt = cnt + vf
+            for c in range(3):
+                macc[c] = macc[c] + _roll2(chans[c], dy, dx) * vf
+    inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+    means = [m * inv_cnt for m in macc]
+
+    gf = (f_normal,) * 3 + (f_albedo,) * 3 + (f_depth,)
+    taps = range(-radius, radius + 1)
+    wsum = jnp.zeros((bh, w), jnp.float32)
+    acc = [jnp.zeros((bh, w), jnp.float32) for _ in chans]
+    for dy in taps:
+        for dx in taps:
+            v = valid(dy, dx)
+            d2 = jnp.zeros((bh, w), jnp.float32)
+            for c in range(3):
+                diff = means[c] - _roll2(means[c], dy, dx)
+                d2 = d2 + diff * diff
+            g2 = jnp.zeros((bh, w), jnp.float32)
+            for gch, f in zip(guides, gf):
+                diff = gch - _roll2(gch, dy, dx)
+                g2 = g2 + f * diff * diff
+            wgt = jnp.where(v, jnp.exp(-falloff * d2 - g2), 0.0)
+            wsum = wsum + wgt
+            for c in range(3):
+                acc[c] = acc[c] + _roll2(chans[c], dy, dx) * wgt
+    inv_w = 1.0 / jnp.maximum(wsum, 1e-12)
+    for c in range(3):
+        outs[c][:, :] = (acc[c] * inv_w)[halo : halo + band, :]
+
+
+def _guided_pallas_fwd_impl(img, normal, albedo, depth, falloff, radius,
+                            f_normal, f_albedo, f_depth):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = img.shape[:2]
+    halo = _round_up(radius + 1, 8)
+    wp = _round_up(max(w, 128), 128)
+    # ~26 live band planes (10 scratch + mean/acc temps)
+    band = (_VMEM_BUDGET // (26 * 4 * wp)) - 2 * halo
+    band = max(8, (band // 8) * 8)
+    hp = _round_up(max(h, band), band)
+    n_bands = hp // band
+    pad = ((halo, hp - h + halo), (0, wp - w))
+
+    dn = depth[..., 0] / jnp.maximum(jnp.max(depth), 1e-6)
+    planes = (
+        [jnp.pad(img[..., c], pad) for c in range(3)]
+        + [jnp.pad(normal[..., c], pad) for c in range(3)]
+        + [jnp.pad(albedo[..., c], pad) for c in range(3)]
+        + [jnp.pad(dn, pad)]
+    )
+
+    interpret = jax.devices()[0].platform != "tpu"
+    kern = partial(
+        _guided_band_kernel, falloff=float(falloff),
+        f_normal=float(f_normal), f_albedo=float(f_albedo),
+        f_depth=float(f_depth), radius=int(radius), real_h=h, real_w=w,
+        halo=halo,
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_bands,),
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 10,
+        out_specs=[
+            pl.BlockSpec((band, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((band + 2 * halo, wp), jnp.float32)
+            for _ in range(10)
+        ] + [pltpu.SemaphoreType.DMA((10,))],
+        interpret=interpret,
+    )(*planes)
+    return jnp.stack([o[:h, :w] for o in outs], axis=-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def nlm_guided_pallas(img, normal, albedo, depth, falloff: float = 200.0,
+                      radius: int = 2, f_normal: float = 8.0,
+                      f_albedo: float = 50.0, f_depth: float = 1.0):
+    """Fused banded Pallas joint NLM (render/nlm.py nlm_guided parity).
+    Differentiable w.r.t. img via custom_vjp (guides treated as fixed,
+    like the jnp version under typical use)."""
+    return _guided_pallas_fwd_impl(
+        img, normal, albedo, depth, falloff, radius, f_normal, f_albedo,
+        f_depth,
+    )
+
+
+def _guided_fwd(img, normal, albedo, depth, falloff, radius, f_normal,
+                f_albedo, f_depth):
+    out = _guided_pallas_fwd_impl(
+        img, normal, albedo, depth, falloff, radius, f_normal, f_albedo,
+        f_depth,
+    )
+    return out, (img, normal, albedo, depth)
+
+
+def _guided_bwd(falloff, radius, f_normal, f_albedo, f_depth, res, g):
+    from ...render.nlm import nlm_guided
+
+    img, normal, albedo, depth = res
+    _, vjp = jax.vjp(
+        lambda x, n, a, d: nlm_guided(
+            x, n, a, d, falloff=falloff, radius=radius, f_normal=f_normal,
+            f_albedo=f_albedo, f_depth=f_depth,
+        ),
+        img, normal, albedo, depth,
+    )
+    return vjp(g)
+
+
+nlm_guided_pallas.defvjp(_guided_fwd, _guided_bwd)
+
+
+def nlm_guided_denoise(img, normal, albedo, depth, **kw):
+    """Platform dispatcher: fused Pallas joint NLM on TPU, XLA elsewhere."""
+    import jax as _jax
+
+    if _jax.devices()[0].platform == "tpu":
+        return nlm_guided_pallas(img, normal, albedo, depth, **kw)
+    from ...render.nlm import nlm_guided
+
+    return nlm_guided(img, normal, albedo, depth, **kw)
