@@ -82,7 +82,7 @@ def _tile_priority(accum, m2):
 
 
 def _trace_pixels(scene, cam, key, px, py, spp, width, height, max_depth,
-                  rr_depth):
+                  rr_depth, light_sampling):
     """Trace spp box-filtered samples of pixels at integer raster coords
     px/py (N,). Returns (sum, sumsq, count) with shapes (N,3),(N,3),()."""
     n = px.shape[0]
@@ -92,12 +92,16 @@ def _trace_pixels(scene, cam, key, px, py, spp, width, height, max_depth,
     rx = px[None, :].astype(jnp.float32) + jitter[..., 0]
     ry = py[None, :].astype(jnp.float32) + jitter[..., 1]
     raster = jnp.stack([rx, ry], axis=-1).reshape(-1, 2)
-    origins, dirs = generate_rays(cam, width, height, raster)
+    lens_uv = jax.random.uniform(
+        jax.random.fold_in(key, 4), (spp * n, 2)
+    )  # thin-lens DOF draws (ignored at aperture 0, render/camera.py)
+    origins, dirs = generate_rays(cam, width, height, raster, lens_uv)
     tu = jax.random.uniform(kt, (spp * n,))
     times = lerp(cam.shutter_start, cam.shutter_end, tu)
     rad = path_trace(
         scene, origins, dirs, times, max_depth,
         jax.random.fold_in(key, 2), rr_depth=rr_depth,
+        light_sampling=light_sampling,
     ).reshape(spp, n, 3)
     return rad.sum(axis=0), (rad * rad).sum(axis=0)
 
@@ -106,12 +110,13 @@ def _trace_pixels(scene, cam, key, px, py, spp, width, height, max_depth,
     jax.jit,
     static_argnames=(
         "k_tiles", "spp", "width", "height", "max_depth", "rr_depth",
-        "uniform",
+        "uniform", "light_sampling",
     ),
 )
 def adaptive_round(accum, m2, scene: SceneFlat, cam: CameraParams, key,
                    *, k_tiles: int, spp: int, width: int, height: int,
-                   max_depth: int, rr_depth: int = 0, uniform: bool = False):
+                   max_depth: int, rr_depth: int = 0, uniform: bool = False,
+                   light_sampling: str = "all"):
     """One adaptive round: pick the k_tiles highest-priority tiles, spend
     spp samples on each of their pixels, scatter the sums back.
     uniform=True skips selection and takes the first k_tiles tiles of a
@@ -134,7 +139,8 @@ def adaptive_round(accum, m2, scene: SceneFlat, cam: CameraParams, key,
     py = jnp.broadcast_to(py, (k_tiles, TILE, TILE)).reshape(-1)
 
     s, s2 = _trace_pixels(
-        scene, cam, key, px, py, spp, width, height, max_depth, rr_depth
+        scene, cam, key, px, py, spp, width, height, max_depth, rr_depth,
+        light_sampling,
     )
     upd = jnp.concatenate(
         [s, jnp.full((s.shape[0], 1), float(spp), jnp.float32)], axis=-1
@@ -172,6 +178,7 @@ def adaptive_render(scene_host, budget_spp: int, seed: int = 0,
         spp=spp_round, width=w, height=h,
         max_depth=options.max_depth,
         rr_depth=getattr(options, "rr_depth", 0),
+        light_sampling=getattr(options, "light_sampling", "all"),
     )
 
     # warmup: uniform full-frame coverage (all tiles each pass)
