@@ -82,6 +82,9 @@ TILE = 4096  # rays per early-exit tile; swept on TPU v5 (524k-tri
 # localize the worst-ray tail that two-phase compaction then mops up.
 PHASE1_CAP = 36  # phase-1 step cap (~p95 of per-ray steps on the 524k-tri
 # benchmark); the tail beyond it is finished compacted in phase 2.
+PHASE2_CAP = None  # optional cap for phase 2: when set, the schedule
+# deepens to capped-phase-2 -> second compaction -> uncapped phase 3
+# (each restart carries the tightened best_t). None = classic two-phase.
 INF = float("inf")  # Python literal: an import-time device scalar closed
 # over in jit hits a catastrophic constant path on TPU (measured 3000x)
 
@@ -513,27 +516,32 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
         )
         return results(out)
 
-    # phase 1: capped
-    st1 = _map_tiles(
-        pool, node_offset, tri_offset, o, d, state, tile, PHASE1_CAP,
-        with_steps,
-    )
-    # compact unfinished rays to the front (stable: preserves coherence)
-    finished = (st1["cur"] < 0) & (st1["pend"] < 0)
-    perm = jnp.argsort(finished.astype(jnp.int8), stable=True)
-    o2 = tuple(c[perm] for c in o)
-    d2 = tuple(c[perm] for c in d)
-    # phase 2: restart from the root; finished lanes stay finished
-    st2 = _init_state(r, st1["best_t"][perm], stack_slots, with_steps)
-    st2["cur"] = jnp.where(finished[perm], jnp.int32(-1), jnp.int32(0))
-    st2["best_tri"] = st1["best_tri"][perm]
-    if with_steps:
-        st2["steps"] = st1["steps"][perm]
-    out = _map_tiles(
-        pool, node_offset[perm], tri_offset[perm], o2, d2, st2, tile, None,
-        with_steps,
-    )
-    inv = jnp.argsort(perm)
+    # capped phases, each followed by a stable compaction of unfinished
+    # rays to the front and a restart from the root with the tightened
+    # best_t; the final phase runs uncapped
+    caps = [PHASE1_CAP]
+    if PHASE2_CAP is not None:
+        caps.append(PHASE2_CAP)
+    no = node_offset
+    to = tri_offset
+    st = state
+    total_perm = jnp.arange(r)
+    for cap_i in caps:
+        st1 = _map_tiles(pool, no, to, o, d, st, tile, cap_i, with_steps)
+        finished = (st1["cur"] < 0) & (st1["pend"] < 0)
+        perm = jnp.argsort(finished.astype(jnp.int8), stable=True)
+        total_perm = total_perm[perm]
+        o = tuple(c[perm] for c in o)
+        d = tuple(c[perm] for c in d)
+        no = no[perm]
+        to = to[perm]
+        st = _init_state(r, st1["best_t"][perm], stack_slots, with_steps)
+        st["cur"] = jnp.where(finished[perm], jnp.int32(-1), jnp.int32(0))
+        st["best_tri"] = st1["best_tri"][perm]
+        if with_steps:
+            st["steps"] = st1["steps"][perm]
+    out = _map_tiles(pool, no, to, o, d, st, tile, None, with_steps)
+    inv = jnp.argsort(total_perm)
     return tuple(jnp.take(x, inv) for x in results(out))
 
 
