@@ -263,3 +263,37 @@ def test_guided_nlm_preserves_edges():
     assert edge_sharpness(g) > 2.0 * edge_sharpness(p), (
         edge_sharpness(g), edge_sharpness(p),
     )
+
+
+def test_cli_batch_animation(tmp_path):
+    """Batch mode (main.cpp:105-118 parity): a %d scene pattern renders
+    each existing frame to its own PNG and stops at the first gap."""
+    from tinsel_tpu.app.cli import main
+
+    src = """
+options
+{{
+    width 16
+    height 16
+    maxDepth 1
+    maxSamples 2
+}}
+sky
+{{
+    horizon 0.4 0.4 {h}
+    zenith 0.1 0.1 0.3
+}}
+"""
+    for i, h in ((0, "0.4"), (1, "0.9")):
+        (tmp_path / f"anim_{i}.tin").write_text(src.format(h=h))
+    out = tmp_path / "out_%d.png"
+    rc = main([str(tmp_path / "anim_%d.tin"), "-o", str(out)])
+    assert rc == 0
+    assert (tmp_path / "out_0.png").exists()
+    assert (tmp_path / "out_1.png").exists()
+    assert not (tmp_path / "out_2.png").exists()
+    from tinsel_tpu.io.png import read_png
+
+    a = read_png(str(tmp_path / "out_0.png"))
+    b = read_png(str(tmp_path / "out_1.png"))
+    assert not np.array_equal(a, b)  # the two frames differ

@@ -413,6 +413,23 @@ class Scene:
     # -- flattening ---------------------------------------------------------
 
     def flatten(self) -> SceneFlat:
+        if not self.primitives:
+            # sky-only scene: inject one invisible primitive (zero-radius
+            # sphere, zero emission) so every per-primitive table has a
+            # harmless row — rays can never hit it, so the render is
+            # exactly the sky
+            self = dataclasses.replace(
+                self,
+                primitives=[
+                    Primitive(
+                        type=SPHERE, radius=0.0,
+                        material=Material(
+                            color=np.zeros(3, np.float32),
+                            emission=np.zeros(3, np.float32),
+                        ),
+                    )
+                ],
+            )
         # deduplicate meshes by object identity (instancing: many primitives
         # share one Mesh => one pool segment, like render.cu:1002-1011)
         mesh_list: List[Mesh] = []
