@@ -48,11 +48,19 @@ CASES = [
         "tests/goldens/ref_gloss_96x64_s128.pfm",
         128, 96, 64, 0.02, 0.05,
     ),
+    # external-mesh pipeline + mesh area light (PLY import from the
+    # read-only reference tree, unscaled emitter to dodge the reference's
+    # s^2 pdf bug): measured 2026-08-18 ratio 0.9996, worst region 0.6%
+    (
+        "tests/data/meshlight_parity.tin",
+        "tests/goldens/ref_meshlight_96x64_s128.pfm",
+        128, 96, 64, 0.02, 0.04,
+    ),
 ]
 
 
 @pytest.mark.parametrize("scene_path,golden,spp,w,h,ratio_tol,region_tol",
-                         CASES, ids=["simple", "cornell", "gloss"])
+                         CASES, ids=["simple", "cornell", "gloss", "meshlight"])
 def test_reference_parity(scene_path, golden, spp, w, h, ratio_tol,
                           region_tol):
     ref = load_pfm(os.path.join(ROOT, golden))[::-1]  # bottom-up scanlines
