@@ -52,7 +52,10 @@ def test_viewer_serves_and_refines():
     _get(f"http://127.0.0.1:{port}/ctl?denoise=toggle")
     s2 = json.loads(_get(f"http://127.0.0.1:{port}/status"))
     assert s2["exposure"] > status["exposure"]
-    assert s2["denoise"] is True
+    assert s2["denoise"] == "nlm"  # toggle cycles off->nlm->guided
+    _get(f"http://127.0.0.1:{port}/ctl?denoise=toggle")
+    s3 = json.loads(_get(f"http://127.0.0.1:{port}/status"))
+    assert s3["denoise"] == "guided"
 
     # progressive refinement: spp grows
     spp0 = s2["spp"]

@@ -75,7 +75,7 @@ setInterval(() => {{
       ` ${{s.spp}} spp  ${{s.ms_per_spp.toFixed(1)}} ms/spp  ` +
       `exposure ${{s.exposure.toFixed(2)}}  mode ${{s.mode}}` +
       (s.cam_pos ? `  cam [${{s.cam_pos.map(v => v.toFixed(2))}}]` : '') +
-      (s.denoise ? '  [NLM]' : '') + (s.paused ? '  [paused]' : '');
+      (s.denoise !== 'off' ? `  [${{s.denoise.toUpperCase()}}]` : '') + (s.paused ? '  [paused]' : '');
   }});
 }}, 500);
 </script></body></html>"""
@@ -141,7 +141,7 @@ class ViewerState:
         self.lock = threading.Lock()
         self.exposure = exposure
         self.mode = "pathtrace"
-        self.denoise = False
+        self.denoise = "off"  # off | nlm | guided (AOV-guided joint NLM)
         self.paused = False
         self.restart = False
         self.png = b""
@@ -203,7 +203,10 @@ def _make_handler(state: ViewerState, disp_w: int):
                         f = 1.25 if q["exposure"][0] == "up" else 0.8
                         state.exposure *= f
                     if "denoise" in q:
-                        state.denoise = not state.denoise
+                        cyc = ("off", "nlm", "guided")
+                        state.denoise = cyc[
+                            (cyc.index(state.denoise) + 1) % len(cyc)
+                        ]
                     if "pause" in q:
                         state.paused = not state.paused
                     if "mode" in q and q["mode"][0] in (
@@ -243,7 +246,7 @@ def run_viewer(scene, options, seed: int = 0, port: int = 8000,
 
     from ..core.color import resolve
     from ..io.png import encode_png
-    from ..ops.pallas.nlm import nlm_denoise
+    from ..ops.pallas.nlm import nlm_denoise, nlm_guided_denoise
     from ..render.camera import CameraParams
     from ..render.renderer import make_accumulate_fn
 
@@ -277,6 +280,7 @@ def run_viewer(scene, options, seed: int = 0, port: int = 8000,
         return steps[mode]
 
     accum = jnp.zeros((options.height, options.width, 4), jnp.float32)
+    aov_cache = [None]  # guided-denoise guide maps, invalidated on cam move
     spp = 0
     c = 0
     t0 = time.perf_counter()
@@ -285,6 +289,7 @@ def run_viewer(scene, options, seed: int = 0, port: int = 8000,
             with state.lock:
                 mode = state.mode
                 if state.cam_dirty:
+                    aov_cache[0] = None  # guides follow the camera
                     # recompose the camera from the fly state; a moved
                     # camera restarts accumulation (main.cpp:466)
                     cam = dataclasses.replace(
@@ -314,8 +319,20 @@ def run_viewer(scene, options, seed: int = 0, port: int = 8000,
 
             if mode == "pathtrace":
                 img = resolve(accum, exposure=exposure, limit=options.limit)
-                if denoise:
+                if denoise == "nlm":
                     img = nlm_denoise(img, nlm_falloff, nlm_radius)
+                elif denoise == "guided":
+                    if aov_cache[0] is None:
+                        from ..render.aov import render_aovs
+
+                        aov_cache[0] = render_aovs(
+                            flat, cam, options.width, options.height
+                        )
+                    a = aov_cache[0]
+                    img = nlm_guided_denoise(
+                        img, a["normal"], a["albedo"], a["depth"],
+                        falloff=nlm_falloff,
+                    )
                 img_np = np.asarray(img)
             else:
                 img_np = np.clip(np.asarray(accum[..., :3]) / max(c, 1), 0, 1)
