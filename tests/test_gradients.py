@@ -179,3 +179,52 @@ def test_grad_scan_accumulation_matches_chunk_mean():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b) / 3, rtol=1e-5, atol=1e-7
         )
+
+
+def test_aperture_gradient_finite_and_nonzero():
+    """Thin-lens DOF params carry gradients (finite and nonzero, like the
+    camera-position precedent above: defocus gradients are dominated by
+    silhouette/visibility terms, so an FD comparison is ill-posed — the
+    autodiff covers the smooth shading/hit-point path only)."""
+    from tinsel_tpu.scene.model import (
+        Camera, Material, PLANE, Primitive, Scene, Sky,
+    )
+
+    scene = Scene()
+    scene.sky = Sky(
+        horizon=np.array([0.9, 0.5, 0.2], np.float32),
+        zenith=np.array([0.1, 0.3, 0.8], np.float32),
+    )
+    scene.camera = Camera(position=np.array([0.0, 1.5, 3.0], np.float32))
+    scene.add_primitive(
+        Primitive(
+            type=PLANE,
+            plane=np.array([0, 1, 0, 0], np.float32),
+            material=Material(
+                color=np.full(3, 0.7, np.float32),
+                roughness=0.6, specular=0.3, bump=0.4, bump_tile=2.0,
+            ),
+        )
+    )
+    flat = scene.flatten()
+    cam = CameraParams.from_host(scene.camera)
+    key = jax.random.key(11)
+    target = jnp.full((16, 16, 3), 0.3, jnp.float32)
+    opts = dict(width=16, height=16, max_depth=2)
+
+    def loss_of_ap(a):
+        c2 = dataclasses.replace(cam, aperture=a,
+                                 focal_distance=jnp.float32(3.0))
+        return render_loss(flat, c2, key, target, **opts)
+
+    g = jax.grad(loss_of_ap)(jnp.float32(0.15))
+    gf = jax.grad(
+        lambda fd_: render_loss(
+            flat,
+            dataclasses.replace(cam, aperture=jnp.float32(0.15),
+                                focal_distance=fd_),
+            key, target, **opts,
+        )
+    )(jnp.float32(3.0))
+    assert np.isfinite(float(g)) and abs(float(g)) > 0.0
+    assert np.isfinite(float(gf)) and abs(float(gf)) > 0.0
