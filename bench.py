@@ -28,6 +28,41 @@ import jax.numpy as jnp
 R1_FWD_RAYS_PER_SEC = 84_000_000.0
 
 
+def _best_recorded():
+    """Best forward/bigmesh numbers over all recorded driver rounds
+    (BENCH_r*.json in the repo root) — the regression gate: vs_prev_round
+    compares THIS run to the best any previous round achieved, so a
+    regression shows up as < 1.0 even while vs_baseline still flatters."""
+    import glob
+    import os
+
+    best_fwd, best_big = 0.0, 0.0
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                txt = f.read()
+        except OSError:
+            continue
+        # driver files hold one or more {"parsed": {...}} records
+        import re
+
+        for m in re.finditer(r'"parsed"\s*:\s*{', txt):
+            dec = json.JSONDecoder()
+            try:
+                rec, _ = dec.raw_decode(txt[m.end() - 1:])
+            except ValueError:
+                continue
+            if "tpu" not in str(rec.get("platform", "")):
+                continue  # CPU-fallback rounds are not comparable
+            best_fwd = max(best_fwd, float(rec.get("value", 0.0)))
+            best_big = max(
+                best_big,
+                float(rec.get("bigmesh_524k_closest_hit_mrays_per_sec", 0.0)),
+            )
+    return best_fwd, best_big
+
+
 def _probe_device(timeout_s: int = 180) -> bool:
     """Check the default JAX backend initializes, from a SUBPROCESS with a
     timeout — a dead axon tunnel hangs device init forever inside the
@@ -147,6 +182,7 @@ def main():
     platform = jax.devices()[0].platform
     if degraded:
         platform = f"{platform} [{degraded}]"
+    best_fwd, best_big = _best_recorded()
     print(
         json.dumps(
             {
@@ -154,6 +190,10 @@ def main():
                 "value": round(fwd_rays_per_sec),
                 "unit": "rays/s",
                 "vs_baseline": round(fwd_rays_per_sec / R1_FWD_RAYS_PER_SEC, 3),
+                "vs_prev_round": round(fwd_rays_per_sec / best_fwd, 3)
+                if best_fwd else None,
+                "bigmesh_vs_prev_round": round(bigmesh_mrays / best_big, 3)
+                if (best_big and bigmesh_mrays) else None,
                 "fwd_bwd_rays_per_sec": round(fwdbwd_rays_per_sec),
                 "fwd_bwd_over_fwd_matched_spp": round(bwd_ratio_matched, 2),
                 "spp_per_sec": round(n_timed / dt, 3),
