@@ -119,6 +119,102 @@ def test_camera_gradient_finite():
     assert float(jnp.abs(g).max()) > 0.0
 
 
+def _smooth_camera_setup():
+    """A scene where the image is a SMOOTH function of camera parameters:
+    a bump-mapped plane filling the whole frame (camera looks down — no
+    silhouette or horizon discontinuity anywhere in the image), lit at
+    max_depth 1 by NEE from an out-of-frame sphere light with nothing
+    between plane and light. Central differences are well-posed here; in
+    a box scene every geometric edge aliases into the FD stencil, and at
+    depth >= 2 a near-tangent bounce ray flipping between re-hitting the
+    plane and escaping produces a measured ~1e-4 loss jump that swamps FD
+    at any usable step."""
+    from tinsel_tpu.scene.model import (
+        Camera, HostTransform, Material, PLANE, Primitive, Scene, Sky,
+        SPHERE,
+    )
+    from tinsel_tpu.scene.loaders.tin import _look_at_quat
+
+    scene = Scene()
+    scene.sky = Sky(
+        horizon=np.zeros(3, np.float32), zenith=np.zeros(3, np.float32)
+    )
+    pos = np.array([0.3, 2.0, 0.4], np.float32)
+    scene.camera = Camera(
+        position=pos,
+        rotation=_look_at_quat(pos, np.array([0.0, 0.0, 0.0], np.float32)),
+        fov=float(np.deg2rad(35.0)),
+    )
+    scene.add_primitive(
+        Primitive(
+            type=PLANE,
+            plane=np.array([0, 1, 0, 0], np.float32),
+            material=Material(
+                color=np.full(3, 0.7, np.float32),
+                roughness=0.6, specular=0.3, bump=0.5, bump_tile=1.5,
+            ),
+        )
+    )
+    scene.add_primitive(
+        Primitive(
+            type=SPHERE,
+            radius=0.4,
+            start_transform=HostTransform(
+                p=np.array([2.5, 6.0, 1.5], np.float32)
+            ),
+            material=Material(
+                color=np.zeros(3, np.float32),
+                emission=np.full(3, 40.0, np.float32),
+            ),
+            light_samples=1,
+        )
+    )
+    flat = scene.flatten()
+    cam = CameraParams.from_host(scene.camera)
+    key = jax.random.key(21)
+    target = jnp.full((24, 24, 3), 0.3, jnp.float32)
+    opts = dict(width=24, height=24, max_depth=1)
+    return flat, cam, key, target, opts
+
+
+def test_camera_position_gradient_matches_fd():
+    """Camera dolly vs central differences on the same key, on the smooth
+    (no-visibility-edge) scene — translation moves every hit point across
+    the bump field, a strong smooth signal. BASELINE.json lists camera
+    params in the gradient surface; this is the FD proof, matching the
+    emission/color precedent."""
+    flat, cam, key, target, opts = _smooth_camera_setup()
+
+    def loss_of_dz(dz):
+        p = cam.position + jnp.array([0.0, 0.0, 1.0], jnp.float32) * dz
+        c2 = dataclasses.replace(cam, position=p)
+        return render_loss(flat, c2, key, target, **opts)
+
+    loss_of_dz = jax.jit(loss_of_dz)
+    g_ad = float(jax.grad(loss_of_dz)(jnp.float32(0.0)))
+    g_fd = float(_fd(loss_of_dz, jnp.float32(0.0), 1e-3))
+    assert g_ad != 0.0
+    assert abs(g_ad - g_fd) <= 0.05 * max(abs(g_fd), 1e-3), (g_ad, g_fd)
+
+
+def test_camera_fov_gradient_matches_fd():
+    """FOV zoom vs central differences (same-key determinism). FOV scales
+    ray directions through tan(fov/2) — with the whole frame on the bump
+    plane the zoom sweeps hit points smoothly, no edge enters the image."""
+    flat, cam, key, target, opts = _smooth_camera_setup()
+
+    def loss_of_fov(f):
+        c2 = dataclasses.replace(cam, fov=f)
+        return render_loss(flat, c2, key, target, **opts)
+
+    loss_of_fov = jax.jit(loss_of_fov)
+    f0 = jnp.float32(cam.fov)
+    g_ad = float(jax.grad(loss_of_fov)(f0))
+    g_fd = float(_fd(loss_of_fov, f0, 1e-3))
+    assert g_ad != 0.0
+    assert abs(g_ad - g_fd) <= 0.05 * max(abs(g_fd), 1e-3), (g_ad, g_fd)
+
+
 def test_inverse_rendering_reduces_albedo_error():
     """The examples/inverse_rendering.py optimization must make real
     progress: mean visible-albedo error drops by >25% in a short run."""
