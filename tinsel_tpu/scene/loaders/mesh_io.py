@@ -266,6 +266,28 @@ def save_wo3(path: str, positions: np.ndarray, indices: np.ndarray,
 # ------------------------------------------------------------------------ PLY
 
 
+def _decode_tristrip(idx) -> list:
+    """Triangle-strip list (-1 = strip restart) -> triangle index tuples
+    with alternating winding, degenerate triangles dropped. Extends the
+    PLY importer to scanner-produced `element tristrips` files (e.g. the
+    Stanford-scan meshes); the reference's importer (mesh.cpp) has no
+    tristrips path at all."""
+    out = []
+    start = 0  # index where the current strip begins
+    for k in range(len(idx)):
+        if int(idx[k]) < 0:
+            start = k + 1
+            continue
+        if k - start < 2:
+            continue
+        a, b, c = int(idx[k - 2]), int(idx[k - 1]), int(idx[k])
+        if a == b or b == c or a == c:
+            continue
+        flip = (k - start) % 2  # odd strip-local triangles flip winding
+        out.append((a, c, b) if flip else (a, b, c))
+    return out
+
+
 def import_ply(path: str) -> Mesh:
     with open(path, "rb") as f:
         data = f.read()
@@ -276,8 +298,11 @@ def import_ply(path: str) -> Mesh:
 
     fmt = "ascii"
     n_vertex = n_face = 0
+    n_strips = 0
     vertex_props = []
     cur_element = None
+    face_count_type = "uchar"  # list COUNT dtype of the face element
+    strip_count_type = "int"
     for line in header:
         t = line.split()
         if not t:
@@ -290,10 +315,19 @@ def import_ply(path: str) -> Mesh:
                 n_vertex = int(t[2])
             elif t[1] == "face":
                 n_face = int(t[2])
+            elif t[1] == "tristrips":
+                n_strips = int(t[2])
         elif t[0] == "property" and cur_element == "vertex":
             if t[1] == "list":
                 continue
             vertex_props.append((t[1], t[2]))
+        elif t[0] == "property" and t[1] == "list":
+            # list <count_type> <index_type> — the count dtype varies
+            # (uchar for typical face elements, int for tristrips)
+            if cur_element == "face":
+                face_count_type = t[2]
+            elif cur_element == "tristrips":
+                strip_count_type = t[2]
 
     prop_names = [p[1] for p in vertex_props]
     xi, yi, zi = (prop_names.index(c) for c in ("x", "y", "z"))
@@ -317,6 +351,9 @@ def import_ply(path: str) -> Mesh:
             cnt, idx = t[0], t[1:]
             for k in range(1, cnt - 1):
                 faces.append((idx[0], idx[k], idx[k + 1]))
+        for i in range(n_vertex + n_face, n_vertex + n_face + n_strips):
+            t = [int(v) for v in text[i].split()]
+            faces.extend(_decode_tristrip(t[1:]))
         indices = np.asarray(faces, np.int32)
     else:
         endian = "<" if fmt == "binary_little_endian" else ">"
@@ -338,17 +375,24 @@ def import_ply(path: str) -> Mesh:
         )
         pos = n_vertex * vdt.itemsize
         faces = []
-        u32 = struct.Struct(endian + "I")
         i32 = struct.Struct(endian + "i")
+        cnt_dt = np.dtype(endian + type_map[face_count_type])
         for _ in range(n_face):
-            cnt = body[pos]
-            pos += 1
+            cnt = int(np.frombuffer(body, cnt_dt, 1, pos)[0])
+            pos += cnt_dt.itemsize
             idx = [
                 i32.unpack_from(body, pos + 4 * k)[0] for k in range(cnt)
             ]
             pos += 4 * cnt
             for k in range(1, cnt - 1):
                 faces.append((idx[0], idx[k], idx[k + 1]))
+        strip_cnt_dt = np.dtype(endian + type_map[strip_count_type])
+        for _ in range(n_strips):
+            cnt = int(np.frombuffer(body, strip_cnt_dt, 1, pos)[0])
+            pos += strip_cnt_dt.itemsize
+            idx = np.frombuffer(body, np.dtype(endian + "i4"), cnt, pos)
+            pos += 4 * cnt
+            faces.extend(_decode_tristrip(idx))
         indices = np.asarray(faces, np.int32)
 
     mesh = Mesh(positions=positions, indices=indices)
