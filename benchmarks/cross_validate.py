@@ -62,6 +62,7 @@ int main(int argc, char** argv) {
     options.maxSamples = spp;
     if (!LoadTin(argv[1], scene, &camera, &options)) return 2;
     options.width = atoi(argv[4]); options.height = atoi(argv[5]);
+    if (argc > 6) options.maxDepth = atoi(argv[6]);  // depth-resolved runs
     scene->Build();
     Renderer* r = CreateCpuRenderer(scene);
     r->Init(options.width, options.height);

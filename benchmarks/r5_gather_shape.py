@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 
-def timed_periter(fn, k_lo=64, k_hi=512, reps=5):
+def timed_periter(fn, k_lo=256, k_hi=4096, reps=5):
     """Per-iteration slope with median-of-reps at each k — the tunnel
     dispatch jitter (~ms) must not leak into a ~10us/iter estimate."""
     jfn = jax.jit(fn, static_argnums=0)

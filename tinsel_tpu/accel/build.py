@@ -272,11 +272,31 @@ def pack_nodes(bvh: BVH, skip: np.ndarray) -> np.ndarray:
 # worst-ray step count per tile from 367 to ~101 vs the round-1 binary
 # dwell walk.
 
-WIDE_K = 4
-NODE_ROW_WIDTH = 24  # 12 packed-box cols + 4 words + skip, padded to 24
-NODE_WORD_COL = 12
-NODE_SKIP_COL = 16
+WIDE_K = 4  # node fan-out; see set_wide_k (r3: per-step gather cost is a
+# per-lane FLOOR independent of consumed columns up to ~128, so wider
+# nodes cut steps/ray at the same per-step cost — benchmarks/r5_*.py)
 _NAN_PACKED = np.uint32(0x7FC07FC0)  # bf16 quiet-NaN in both halves
+
+
+def _node_layout(k: int):
+    """(row_width, word_col, skip_col) of a k-ary node row: 3k packed box
+    cols + k child words + 1 skip, padded to a multiple of 8."""
+    word_col = 3 * k
+    skip_col = 4 * k
+    row_width = ((4 * k + 1 + 7) // 8) * 8
+    return row_width, word_col, skip_col
+
+
+NODE_ROW_WIDTH, NODE_WORD_COL, NODE_SKIP_COL = _node_layout(WIDE_K)
+
+
+def set_wide_k(k: int):
+    """Switch the global node fan-out (4 / 8 / 16). Takes effect for
+    meshes built afterwards; a process uses ONE k at a time (the layout
+    constants are module state, like the traversal-phase knobs)."""
+    global WIDE_K, NODE_ROW_WIDTH, NODE_WORD_COL, NODE_SKIP_COL
+    WIDE_K = k
+    NODE_ROW_WIDTH, NODE_WORD_COL, NODE_SKIP_COL = _node_layout(k)
 
 
 def _bf16_pack_bounds(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
@@ -338,6 +358,7 @@ class WideBVH:
     real_mask: np.ndarray
     root_lower: np.ndarray
     root_upper: np.ndarray
+    k: int = 4  # node fan-out this tree was collapsed with
 
     @property
     def num_nodes(self) -> int:
@@ -351,7 +372,8 @@ class WideBVH:
 BLOCK_SIZE = 16  # triangles per leaf block (== DEFAULT_LEAF_SIZE)
 
 
-def build_wide_bvh(bvh: BVH, k: int = WIDE_K, use_native: bool = True) -> WideBVH:
+def build_wide_bvh(bvh: BVH, k: int | None = None,
+                   use_native: bool = True) -> WideBVH:
     """Collapse a binary ranged-leaf BVH into the 4-ary traversal layout.
 
     Each internal node adopts the frontier obtained by expanding its
@@ -364,7 +386,10 @@ def build_wide_bvh(bvh: BVH, k: int = WIDE_K, use_native: bool = True) -> WideBV
     A bit-identical C++ fast path (native/bvh_builder.cpp
     tinsel_collapse_wide) handles big trees; this NumPy version is the
     always-available oracle."""
-    if (use_native and k == WIDE_K and bvh.num_nodes >= 4096
+    if k is None:
+        k = WIDE_K
+    row_w, word_col, skip_col = _node_layout(k)
+    if (use_native and k == 4 and bvh.num_nodes >= 4096
             and bvh.count[0] == 0):
         try:
             from ..native.bvh_native import collapse_wide_native
@@ -403,7 +428,7 @@ def build_wide_bvh(bvh: BVH, k: int = WIDE_K, use_native: bool = True) -> WideBV
         ).astype(np.int64)
         real_mask = np.zeros(BLOCK_SIZE, bool)
         real_mask[:n_real] = True
-        row = np.zeros((1, NODE_ROW_WIDTH), np.float32)
+        row = np.zeros((1, row_w), np.float32)
         row[0, 0:3] = _bf16_pack_bounds(lower[0], upper[0]).view(np.float32)
         for c in range(1, k):
             row[0, 3 * c : 3 * c + 3] = np.full(
@@ -411,14 +436,15 @@ def build_wide_bvh(bvh: BVH, k: int = WIDE_K, use_native: bool = True) -> WideBV
             ).view(np.float32)
         words = np.zeros(k, np.int32)
         words[0] = ~np.int32(0)  # leaf block 0
-        row[0, NODE_WORD_COL : NODE_WORD_COL + k] = words.view(np.float32)
-        row[0, NODE_SKIP_COL] = np.int32(-1).view(np.float32)
+        row[0, word_col : word_col + k] = words.view(np.float32)
+        row[0, skip_col] = np.int32(-1).view(np.float32)
         return WideBVH(
             node_rows=row,
             perm_padded=perm_padded,
             real_mask=real_mask,
             root_lower=lower[0].copy(),
             root_upper=upper[0].copy(),
+            k=k,
         )
 
     # pass 1: DFS assigning internal ids (preorder) and leaf block ids in
@@ -468,7 +494,7 @@ def build_wide_bvh(bvh: BVH, k: int = WIDE_K, use_native: bool = True) -> WideBV
 
     # pass 3: emit rows + padded permutation
     n_int = len(internal_id)
-    rows = np.zeros((n_int, NODE_ROW_WIDTH), np.float32)
+    rows = np.zeros((n_int, row_w), np.float32)
     n_blocks = len(block_id)
     perm_padded = np.zeros(BLOCK_SIZE * n_blocks, np.int64)
     real_mask = np.zeros(BLOCK_SIZE * n_blocks, bool)
@@ -498,10 +524,10 @@ def build_wide_bvh(bvh: BVH, k: int = WIDE_K, use_native: bool = True) -> WideBV
                 rows[nid, o : o + 3] = np.full(
                     3, _NAN_PACKED, np.uint32
                 ).view(np.float32)
-        rows[nid, NODE_WORD_COL : NODE_WORD_COL + k] = words.view(np.float32)
+        rows[nid, word_col : word_col + k] = words.view(np.float32)
         esc = skip[b]
         esc_id = -1 if esc == -1 else internal_id[esc]
-        rows[nid, NODE_SKIP_COL] = np.int32(esc_id).view(np.float32)
+        rows[nid, skip_col] = np.int32(esc_id).view(np.float32)
 
     return WideBVH(
         node_rows=rows,
@@ -509,6 +535,7 @@ def build_wide_bvh(bvh: BVH, k: int = WIDE_K, use_native: bool = True) -> WideBV
         real_mask=real_mask,
         root_lower=lower[0].copy(),
         root_upper=upper[0].copy(),
+        k=k,
     )
 
 
@@ -524,7 +551,8 @@ def wide_stack_bound(wide: WideBVH) -> int:
     word < 0 -> leaf block; word == 0 -> empty slot (the root, id 0, is
     never anyone's child)."""
     rows = wide.node_rows
-    words = rows[:, NODE_WORD_COL : NODE_WORD_COL + WIDE_K].view(np.int32)
+    _, word_col, _ = _node_layout(wide.k)
+    words = rows[:, word_col : word_col + wide.k].view(np.int32)
     best = 0
     stack = [(0, 0)]  # (internal node id, pending entries on arrival)
     while stack:
@@ -545,9 +573,10 @@ def validate_wide_bvh(wide: WideBVH, lowers: np.ndarray, uppers: np.ndarray,
     item appears exactly once across blocks, child boxes contain their
     items, and an acyclicity bound holds. Used by tests."""
     rows = wide.node_rows
-    words = rows[:, NODE_WORD_COL : NODE_WORD_COL + WIDE_K].view(np.int32)
-    skips = rows[:, NODE_SKIP_COL : NODE_SKIP_COL + 1].view(np.int32)[:, 0]
-    packed = rows[:, : 3 * WIDE_K].view(np.uint32)
+    _, word_col, skip_col = _node_layout(wide.k)
+    words = rows[:, word_col : word_col + wide.k].view(np.int32)
+    skips = rows[:, skip_col : skip_col + 1].view(np.int32)[:, 0]
+    packed = rows[:, : 3 * wide.k].view(np.uint32)
     n_int = wide.num_nodes
     n_blocks = wide.num_blocks
     eps = 1e-5
@@ -568,7 +597,7 @@ def validate_wide_bvh(wide: WideBVH, lowers: np.ndarray, uppers: np.ndarray,
         assert steps < limit, "walk did not terminate (cycle?)"
         assert 0 <= cur < n_int
         s = None
-        for c in range(WIDE_K):
+        for c in range(wide.k):
             if words[cur, c] < 0 and c >= lc and not child_empty(cur, c):
                 s = c
                 break
@@ -587,7 +616,7 @@ def validate_wide_bvh(wide: WideBVH, lowers: np.ndarray, uppers: np.ndarray,
             lc = s + 1
             continue
         nxt = skips[cur]
-        for c in range(WIDE_K - 1, -1, -1):
+        for c in range(wide.k - 1, -1, -1):
             if words[cur, c] >= 0 and not child_empty(cur, c):
                 nxt = words[cur, c]
         cur, lc = nxt, 0

@@ -224,18 +224,19 @@ def _unpack_axis(col):
 
 
 def _child_tests(row, o, rd, best_t, live):
-    """Slab-test the four bf16-packed child AABBs in a node row. Gather
-    cost in loops scales with CONSUMED columns on this runtime, so the
-    boxes are bf16 pairs (3 columns per child instead of 6); bounds are
-    rounded outward at build time, making the test conservative. The
-    stored skip column (the round-2 escape chain) is NOT read — the stack
-    advance replaced it — so a step consumes 16 columns.
-    Returns (ok_c, word_c lists of 4)."""
-    from .build import NODE_WORD_COL
+    """Slab-test the K bf16-packed child AABBs in a node row (boxes are
+    bf16 pairs, 3 columns per child, rounded outward at build time so the
+    test is conservative; the stored skip column is NOT read — the stack
+    advance replaced it). K comes from build.WIDE_K: r3 measurements
+    (benchmarks/r5_gather_shape.py) show the in-loop gather step costs a
+    per-lane FLOOR independent of consumed columns up to ~128, so wide
+    nodes test 8/16 children at the same per-step cost as 4.
+    Returns (ok_c, word_c lists of K)."""
+    from .build import NODE_WORD_COL, WIDE_K
 
     ok = []
     words = []
-    for c in range(4):
+    for c in range(WIDE_K):
         b = 3 * c
         lox, hix = _unpack_axis(row[:, b + 0])
         loy, hiy = _unpack_axis(row[:, b + 1])
@@ -319,6 +320,8 @@ def _step(pool, node_offset, block_base, o, d, rd, st):
     Advance: descend into the first hit internal child, pushing the other
     hit internal children; when nothing hits, pop. An empty pop yields
     cur = -1 (walk done)."""
+    from .build import WIDE_K as K
+
     cur, lc, pend, sp, stack = (
         st["cur"], st["lc"], st["pend"], st["sp"], st["stack"]
     )
@@ -342,26 +345,26 @@ def _step(pool, node_offset, block_base, o, d, rd, st):
     ok, words = _child_tests(row, o, rd, best_t, live)
 
     # smallest hit-leaf child slot >= lc (the next pending block)
-    s = jnp.full_like(cur, 4)
+    s = jnp.full_like(cur, K)
     w_s = jnp.zeros_like(cur)
-    for c in range(3, -1, -1):
+    for c in range(K - 1, -1, -1):
         cand = ok[c] & (words[c] < 0) & (lc <= c)
         s = jnp.where(cand, jnp.int32(c), s)
         w_s = jnp.where(cand, words[c], w_s)
-    dwell = live & (s < 4)
+    dwell = live & (s < K)
     pend = jnp.where(dwell, -w_s - 1, jnp.int32(-1))  # ~word
 
     # descend target: first hit internal child; the rest get pushed
-    hitint = [ok[c] & (words[c] >= 0) for c in range(4)]
-    first_c = jnp.full_like(cur, 4)
+    hitint = [ok[c] & (words[c] >= 0) for c in range(K)]
+    first_c = jnp.full_like(cur, K)
     desc = jnp.zeros_like(cur)
-    for c in range(3, -1, -1):
+    for c in range(K - 1, -1, -1):
         first_c = jnp.where(hitint[c], jnp.int32(c), first_c)
         desc = jnp.where(hitint[c], words[c], desc)
-    has_desc = first_c < 4
+    has_desc = first_c < K
     adv = live & ~dwell
     # push far slots first so nearer slots pop first (slot-order DFS)
-    for c in (3, 2, 1):
+    for c in range(K - 1, 0, -1):
         stack, sp = _stack_push(
             stack, sp, words[c], adv & hitint[c] & (first_c < c)
         )
@@ -598,6 +601,8 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax,
     magnitude earlier than closest-hit (render.cpp's shadow Trace has no
     such early-out; this is a TPU-side improvement). Single-phase: the
     early-out keeps the lockstep tail short."""
+    from .build import WIDE_K as K
+
     rd = _safe_rcp3(d)
     block_base = tri_offset // BLOCK_SIZE
     r = o[0].shape[0]
@@ -630,24 +635,24 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax,
         act = live & ~occ  # occluded lanes stop walking immediately
         ok, words = _child_tests(row, o, rd, tmax, act)
 
-        s_slot = jnp.full_like(cur, 4)
+        s_slot = jnp.full_like(cur, K)
         w_s = jnp.zeros_like(cur)
-        for c in range(3, -1, -1):
+        for c in range(K - 1, -1, -1):
             cand = ok[c] & (words[c] < 0) & (lc <= c)
             s_slot = jnp.where(cand, jnp.int32(c), s_slot)
             w_s = jnp.where(cand, words[c], w_s)
-        dwell = act & (s_slot < 4)
+        dwell = act & (s_slot < K)
         pend = jnp.where(dwell, -w_s - 1, jnp.int32(-1))
 
-        hitint = [ok[c] & (words[c] >= 0) for c in range(4)]
-        first_c = jnp.full_like(cur, 4)
+        hitint = [ok[c] & (words[c] >= 0) for c in range(K)]
+        first_c = jnp.full_like(cur, K)
         desc = jnp.zeros_like(cur)
-        for c in range(3, -1, -1):
+        for c in range(K - 1, -1, -1):
             first_c = jnp.where(hitint[c], jnp.int32(c), first_c)
             desc = jnp.where(hitint[c], words[c], desc)
-        has_desc = first_c < 4
+        has_desc = first_c < K
         adv = act & ~dwell
-        for c in (3, 2, 1):
+        for c in range(K - 1, 0, -1):
             stack, sp = _stack_push(
                 stack, sp, words[c], adv & hitint[c] & (first_c < c)
             )

@@ -102,7 +102,11 @@ def collapse_wide_native(bvh, k: int = 4, block_size: int = 16):
     """Native fast path for accel.build.build_wide_bvh (bit-identical to
     the NumPy collapse; ~20x faster on a 524k-tri tree). Returns a WideBVH
     or raises on unsupported input (root-leaf trees use the Python path)."""
-    from ..accel.build import NODE_ROW_WIDTH, WideBVH
+    from ..accel.build import WideBVH, _node_layout
+
+    if k != 4:
+        raise ValueError("native collapse supports k=4 only")
+    NODE_ROW_WIDTH, _, _ = _node_layout(4)
 
     lib = _ensure_lib()
     if not hasattr(lib, "tinsel_collapse_wide"):

@@ -31,7 +31,6 @@ import numpy as np
 from ..accel.build import (
     BLOCK_SIZE,
     BVH,
-    NODE_ROW_WIDTH,
     build_bvh,
     build_wide_bvh,
     triangle_bounds,
@@ -507,11 +506,12 @@ class Scene:
         if node_rows_list:
             node_rows = np.concatenate(node_rows_list, axis=0)
         else:
-            # empty pool: one terminal row (NaN child boxes never hit)
-            from ..accel.build import NODE_SKIP_COL, NODE_WORD_COL
-            node_rows = np.full((1, NODE_ROW_WIDTH), np.nan, np.float32)
-            node_rows[0, NODE_WORD_COL:] = 0.0
-            node_rows[0, NODE_SKIP_COL] = np.int32(-1).view(np.float32)
+            # empty pool: one terminal row (NaN child boxes never hit);
+            # late import: the layout tracks the active WIDE_K
+            from ..accel import build as _ab
+            node_rows = np.full((1, _ab.NODE_ROW_WIDTH), np.nan, np.float32)
+            node_rows[0, _ab.NODE_WORD_COL:] = 0.0
+            node_rows[0, _ab.NODE_SKIP_COL] = np.int32(-1).view(np.float32)
 
         # (B, 192) leaf-block rows: one row gather tests a whole 16-tri
         # leaf. Component-major within the row (16x v0x, 16x v0y, ...,
