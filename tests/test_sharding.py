@@ -197,7 +197,7 @@ def test_two_process_multihost_matches_single_process():
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=600)
+            out, err = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

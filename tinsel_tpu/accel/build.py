@@ -86,7 +86,7 @@ DEFAULT_LEAF_SIZE = 16
 
 
 def build_bvh(lowers: np.ndarray, uppers: np.ndarray,
-              max_items_per_leaf: int = DEFAULT_LEAF_SIZE,
+              max_items_per_leaf: int | None = None,
               use_native: bool = True, method: str = "sah") -> BVH:
     """Build a BVH over item AABBs.
 
@@ -96,6 +96,8 @@ def build_bvh(lowers: np.ndarray, uppers: np.ndarray,
     midpoint, bvh.h:105-122) — the alternatives the reference keeps
     switchable for bisection; the native C++ fast path covers SAH only.
     """
+    if max_items_per_leaf is None:
+        max_items_per_leaf = DEFAULT_LEAF_SIZE
     lowers = np.asarray(lowers, np.float32).reshape(-1, 3)
     uppers = np.asarray(uppers, np.float32).reshape(-1, 3)
     n = lowers.shape[0]
@@ -372,6 +374,15 @@ class WideBVH:
 BLOCK_SIZE = 16  # triangles per leaf block (== DEFAULT_LEAF_SIZE)
 
 
+def set_block_size(b: int):
+    """Switch the leaf-block width (16 / 32 / 64). Affects meshes built
+    afterwards; one value per process, like set_wide_k. The binary build's
+    leaf size follows so every leaf fills one block."""
+    global BLOCK_SIZE, DEFAULT_LEAF_SIZE
+    BLOCK_SIZE = b
+    DEFAULT_LEAF_SIZE = b
+
+
 def build_wide_bvh(bvh: BVH, k: int | None = None,
                    use_native: bool = True) -> WideBVH:
     """Collapse a binary ranged-leaf BVH into the 4-ary traversal layout.
@@ -429,9 +440,15 @@ def build_wide_bvh(bvh: BVH, k: int | None = None,
         real_mask = np.zeros(BLOCK_SIZE, bool)
         real_mask[:n_real] = True
         row = np.zeros((1, row_w), np.float32)
-        row[0, 0:3] = _bf16_pack_bounds(lower[0], upper[0]).view(np.float32)
+        # component-major box columns: x-packed cols [0,k), y [k,2k),
+        # z [2k,3k) — the traversal consumes them as contiguous (R, k)
+        # groups (strided per-child extracts cost a relayout each;
+        # measured 10x per-step blowup at k=16)
+        row[0, [0, k, 2 * k]] = _bf16_pack_bounds(
+            lower[0], upper[0]
+        ).view(np.float32)
         for c in range(1, k):
-            row[0, 3 * c : 3 * c + 3] = np.full(
+            row[0, [c, k + c, 2 * k + c]] = np.full(
                 3, _NAN_PACKED, np.uint32
             ).view(np.float32)
         words = np.zeros(k, np.int32)
@@ -502,10 +519,10 @@ def build_wide_bvh(bvh: BVH, k: int | None = None,
         ch = children[b]
         words = np.zeros(k, np.int32)
         for c_idx in range(k):
-            o = 3 * c_idx
+            o = [c_idx, k + c_idx, 2 * k + c_idx]  # component-major
             if c_idx < len(ch):
                 c = ch[c_idx]
-                rows[nid, o : o + 3] = _bf16_pack_bounds(
+                rows[nid, o] = _bf16_pack_bounds(
                     lower[c], upper[c]
                 ).view(np.float32)
                 if count[c] > 0:
@@ -521,7 +538,7 @@ def build_wide_bvh(bvh: BVH, k: int | None = None,
                     words[c_idx] = np.int32(internal_id[c])
             else:
                 # empty slot: bf16 NaN box (unconditional miss)
-                rows[nid, o : o + 3] = np.full(
+                rows[nid, o] = np.full(
                     3, _NAN_PACKED, np.uint32
                 ).view(np.float32)
         rows[nid, word_col : word_col + k] = words.view(np.float32)
@@ -540,12 +557,14 @@ def build_wide_bvh(bvh: BVH, k: int | None = None,
 
 
 def wide_stack_bound(wide: WideBVH) -> int:
-    """Exact worst-case per-lane stack usage for the slot-order DFS walk
-    (accel/traverse.py): at each internal node the walk descends into the
-    first hit internal child and pushes the others, so a node with m
-    internal children contributes up to m-1 pending entries while inside
-    child j's subtree (m-1-j remain). The bound is the max over root-leaf
-    paths assuming every child hits — pruning only ever uses less.
+    """Exact worst-case per-lane stack usage for the COMPRESSED-stack walk
+    (accel/traverse.py _step): a node contributes at most ONE live
+    (node << 4 | resume_slot) entry, and only while the walk is inside a
+    non-last internal child — i.e. only when the node has >= 2 internal
+    children. The bound is the max over root-leaf paths of the count of
+    such ancestors, assuming every child hits (pruning only ever uses
+    less). Compare the old value-stack bound sum(m-1): 64 -> ~6 on the
+    524k-tri sphere at k=16.
 
     Word semantics (build_wide_bvh): child word >= 1 -> internal child id;
     word < 0 -> leaf block; word == 0 -> empty slot (the root, id 0, is
@@ -554,15 +573,15 @@ def wide_stack_bound(wide: WideBVH) -> int:
     _, word_col, _ = _node_layout(wide.k)
     words = rows[:, word_col : word_col + wide.k].view(np.int32)
     best = 0
-    stack = [(0, 0)]  # (internal node id, pending entries on arrival)
+    stack = [(0, 0)]  # (internal node id, live entries on arrival)
     while stack:
         node, p = stack.pop()
         internals = [int(w) for w in words[node] if w >= 1]
-        m = len(internals)
-        best = max(best, p + max(m - 1, 0))
-        for j, ch in enumerate(internals):
-            stack.append((ch, p + m - 1 - j))
-    return best
+        mine = 1 if len(internals) >= 2 else 0
+        best = max(best, p + mine)
+        for ch in internals:
+            stack.append((ch, p + mine))
+    return max(best, 1)
 
 
 def validate_wide_bvh(wide: WideBVH, lowers: np.ndarray, uppers: np.ndarray,
@@ -582,7 +601,9 @@ def validate_wide_bvh(wide: WideBVH, lowers: np.ndarray, uppers: np.ndarray,
     eps = 1e-5
 
     def child_box(i, c):
-        lo, hi = _bf16_unpack_bounds(packed[i, 3 * c : 3 * c + 3])
+        lo, hi = _bf16_unpack_bounds(
+            packed[i, [c, wide.k + c, 2 * wide.k + c]]
+        )
         return lo, hi
 
     def child_empty(i, c):

@@ -75,7 +75,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .build import BLOCK_SIZE
+from . import build as _build
 
 TILE = 4096  # rays per early-exit tile; swept on TPU v5 (524k-tri
 # benchmark): 4096 edges out 8192 (1.21 vs 1.10 Mrays/s) — smaller tiles
@@ -224,41 +224,42 @@ def _unpack_axis(col):
 
 
 def _child_tests(row, o, rd, best_t, live):
-    """Slab-test the K bf16-packed child AABBs in a node row (boxes are
-    bf16 pairs, 3 columns per child, rounded outward at build time so the
-    test is conservative; the stored skip column is NOT read — the stack
-    advance replaced it). K comes from build.WIDE_K: r3 measurements
-    (benchmarks/r5_gather_shape.py) show the in-loop gather step costs a
-    per-lane FLOOR independent of consumed columns up to ~128, so wide
-    nodes test 8/16 children at the same per-step cost as 4.
-    Returns (ok_c, word_c lists of K)."""
-    from .build import NODE_WORD_COL, WIDE_K
+    """Slab-test the K bf16-packed child AABBs in a node row. Layout is
+    COMPONENT-MAJOR (x-packed cols [0,K), y [K,2K), z [2K,3K), words
+    [3K,4K)) so the consumers are contiguous (R, K) column groups —
+    per-child strided extracts cost one relayout each (measured 10x
+    per-step blowup at K=16), exactly like the leaf-block row. Bounds are
+    rounded outward at build time, making the test conservative; the
+    stored skip column is not read (the compressed stack replaced it).
+    K comes from build.WIDE_K (r5_gather_shape.py: per-step gather cost
+    is flat in consumed columns to ~128-col rows, so wide nodes test
+    8/16 children at the 4-child price).
+    Returns (ok, words): (R, K) bool / int32."""
+    from .build import WIDE_K as K
 
-    ok = []
-    words = []
-    for c in range(WIDE_K):
-        b = 3 * c
-        lox, hix = _unpack_axis(row[:, b + 0])
-        loy, hiy = _unpack_axis(row[:, b + 1])
-        loz, hiz = _unpack_axis(row[:, b + 2])
-        t0x = (lox - o[0]) * rd[0]
-        t1x = (hix - o[0]) * rd[0]
-        t0y = (loy - o[1]) * rd[1]
-        t1y = (hiy - o[1]) * rd[1]
-        t0z = (loz - o[2]) * rd[2]
-        t1z = (hiz - o[2]) * rd[2]
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        ok.append(live & (tn <= tf) & (tn < best_t))
-        words.append(
-            jax.lax.bitcast_convert_type(row[:, NODE_WORD_COL + c], jnp.int32)
-        )
+    lox, hix = _unpack_axis(row[:, 0:K])
+    loy, hiy = _unpack_axis(row[:, K : 2 * K])
+    loz, hiz = _unpack_axis(row[:, 2 * K : 3 * K])
+    ox, oy, oz = (c[:, None] for c in o)
+    rx, ry, rz = (c[:, None] for c in rd)
+    t0x = (lox - ox) * rx
+    t1x = (hix - ox) * rx
+    t0y = (loy - oy) * ry
+    t1y = (hiy - oy) * ry
+    t0z = (loz - oz) * rz
+    t1z = (hiz - oz) * rz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    ok = live[:, None] & (tn <= tf) & (tn < best_t[:, None])
+    words = jax.lax.bitcast_convert_type(
+        row[:, 3 * K : 4 * K], jnp.int32
+    )
     return ok, words
 
 
@@ -292,7 +293,7 @@ def _block_test(pool, block_base, blk_local, dwell, o, d, best_t):
 def _block_test_row(brow, blk_local, dwell, o, d, best_t):
     ob = tuple(c[:, None] for c in o)
     db = tuple(c[:, None] for c in d)
-    B = BLOCK_SIZE
+    B = _build.BLOCK_SIZE
     va = (brow[:, 0:B], brow[:, B : 2 * B], brow[:, 2 * B : 3 * B])
     vb = (brow[:, 3 * B : 4 * B], brow[:, 4 * B : 5 * B], brow[:, 5 * B : 6 * B])
     vc = (brow[:, 6 * B : 7 * B], brow[:, 7 * B : 8 * B], brow[:, 8 * B : 9 * B])
@@ -301,7 +302,7 @@ def _block_test_row(brow, blk_local, dwell, o, d, best_t):
     t_min = tt.min(axis=1)
     found = t_min < best_t
     slot = jnp.argmin(tt, axis=1).astype(jnp.int32)
-    tri_local = blk_local * BLOCK_SIZE + slot
+    tri_local = blk_local * B + slot
     return found, t_min, tri_local
 
 
@@ -317,13 +318,20 @@ def _step(pool, node_offset, block_base, o, d, rd, st):
     (visits never drop a closer hit: best_t only shrinks), and preserves
     block visit ORDER.
 
-    Advance: descend into the first hit internal child, pushing the other
-    hit internal children; when nothing hits, pop. An empty pop yields
-    cur = -1 (walk done)."""
+    Advance, COMPRESSED-STACK form (the TPU cousin of Ylitie et al.'s
+    wide-BVH traversal): descend into the first hit internal child at
+    slot >= ic; if another hit internal slot follows, push ONE entry
+    (cur << 4 | that_slot). On pop, the node row is re-gathered and the
+    child scan resumes at the stored slot — hit results are re-derived,
+    and can only SHRINK under the tightened best_t (a free prune). This
+    replaces pushing up to K-1 child words: the r3 k=16 A/B showed the
+    unrolled (K-1) x slots push chains dominating the step (0.61 vs 1.58
+    Mrays/s); one push into a depth-bounded stack makes the VPU side
+    O(slots), and stack depth drops from sum(m-1) to internal depth."""
     from .build import WIDE_K as K
 
-    cur, lc, pend, sp, stack = (
-        st["cur"], st["lc"], st["pend"], st["sp"], st["stack"]
+    cur, lc, ic, pend, sp, stack = (
+        st["cur"], st["lc"], st["ic"], st["pend"], st["sp"], st["stack"]
     )
     best_t, best_tri = st["best_t"], st["best_tri"]
 
@@ -342,37 +350,58 @@ def _step(pool, node_offset, block_base, o, d, rd, st):
     best_t = jnp.where(found, t_min, best_t)
     best_tri = jnp.where(found, tri_local, best_tri)
 
-    ok, words = _child_tests(row, o, rd, best_t, live)
+    ok, words = _child_tests(row, o, rd, best_t, live)  # (R, K)
 
-    # smallest hit-leaf child slot >= lc (the next pending block)
-    s = jnp.full_like(cur, K)
-    w_s = jnp.zeros_like(cur)
-    for c in range(K - 1, -1, -1):
-        cand = ok[c] & (words[c] < 0) & (lc <= c)
-        s = jnp.where(cand, jnp.int32(c), s)
-        w_s = jnp.where(cand, words[c], w_s)
+    # smallest hit-leaf child slot >= lc (the next pending block);
+    # resumed visits arrive with lc == K, skipping re-tested leaves.
+    # All scans are vectorized (R, K) masked reductions — unrolled
+    # per-slot select chains cost a relayout per extracted column.
+    slots = jnp.arange(K, dtype=jnp.int32)[None, :]
+    leafm = ok & (words < 0) & (slots >= lc[:, None])
+    s = jnp.min(jnp.where(leafm, slots, K), axis=1)
+    w_s = jnp.where(slots == s[:, None], words, 0).sum(axis=1)
     dwell = live & (s < K)
     pend = jnp.where(dwell, -w_s - 1, jnp.int32(-1))  # ~word
 
-    # descend target: first hit internal child; the rest get pushed
-    hitint = [ok[c] & (words[c] >= 0) for c in range(K)]
-    first_c = jnp.full_like(cur, K)
-    desc = jnp.zeros_like(cur)
-    for c in range(K - 1, -1, -1):
-        first_c = jnp.where(hitint[c], jnp.int32(c), first_c)
-        desc = jnp.where(hitint[c], words[c], desc)
+    # descend target: first hit internal child slot >= ic; the NEXT hit
+    # internal slot (if any) goes into one compressed stack entry
+    intm = ok & (words >= 0) & (slots >= ic[:, None])
+    first_c = jnp.min(jnp.where(intm, slots, K), axis=1)
+    desc = jnp.where(slots == first_c[:, None], words, 0).sum(axis=1)
+    second_c = jnp.min(
+        jnp.where(intm & (slots > first_c[:, None]), slots, K), axis=1
+    )
     has_desc = first_c < K
     adv = live & ~dwell
-    # push far slots first so nearer slots pop first (slot-order DFS)
-    for c in range(K - 1, 0, -1):
-        stack, sp = _stack_push(
-            stack, sp, words[c], adv & hitint[c] & (first_c < c)
-        )
+    stack, sp = _stack_push(
+        stack, sp,
+        jax.lax.shift_left(cur, 4) | second_c,
+        adv & (second_c < K),
+    )
     popped, sp = _stack_pop(stack, sp, adv & ~has_desc)
-    cur = jnp.where(adv, jnp.where(has_desc, desc, popped), cur)
-    lc = jnp.where(dwell, s + 1, jnp.where(adv, 0, lc))
+    resumed = popped >= 0
+    cur = jnp.where(
+        adv,
+        jnp.where(
+            has_desc, desc,
+            jnp.where(resumed, jax.lax.shift_right_logical(popped, 4),
+                      jnp.int32(-1)),
+        ),
+        cur,
+    )
+    ic = jnp.where(
+        adv,
+        jnp.where(has_desc, jnp.int32(0),
+                  jnp.where(resumed, popped & 15, jnp.int32(0))),
+        ic,
+    )
+    # descend -> fresh node (lc 0); pop-resume -> leaves already done
+    lc = jnp.where(
+        dwell, s + 1,
+        jnp.where(adv, jnp.where(has_desc, jnp.int32(0), jnp.int32(K)), lc),
+    )
     return dict(
-        cur=cur, lc=lc, pend=pend, sp=sp, stack=stack,
+        cur=cur, lc=lc, ic=ic, pend=pend, sp=sp, stack=stack,
         best_t=best_t, best_tri=best_tri,
     )
 
@@ -383,7 +412,7 @@ def _traverse_tile(pool, node_offset, tri_offset, o, d, state, cap=None,
     by _init_state); optionally capped at `cap` iterations (phase 1 of the
     two-phase schedule)."""
     rd = _safe_rcp3(d)
-    block_base = tri_offset // BLOCK_SIZE
+    block_base = tri_offset // _build.BLOCK_SIZE
     use_counter = cap is not None
 
     # a lane is unfinished while it has a node to visit OR a block to flush
@@ -423,6 +452,7 @@ def _init_state(r, tmax, stack_slots, with_steps=False):
     st = dict(
         cur=jnp.zeros((r,), jnp.int32),
         lc=jnp.zeros((r,), jnp.int32),
+        ic=jnp.zeros((r,), jnp.int32),  # internal-child resume cursor
         pend=jnp.full((r,), -1, jnp.int32),  # deferred leaf block (-1=none)
         sp=jnp.zeros((r,), jnp.int32),
         stack=tuple(
@@ -578,7 +608,7 @@ def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
     None falls back to DEFAULT_STACK_SLOTS (always safe — flatten refuses
     deeper trees — but costs extra elementwise push/pop selects).
     """
-    if num_tris is not None and num_tris <= BLOCK_SIZE:
+    if num_tris is not None and num_tris <= _build.BLOCK_SIZE:
         return _intersect_mesh_brute(
             pool, tri_offset, num_tris, origins, dirs, tmax
         )
@@ -604,12 +634,13 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax,
     from .build import WIDE_K as K
 
     rd = _safe_rcp3(d)
-    block_base = tri_offset // BLOCK_SIZE
+    block_base = tri_offset // _build.BLOCK_SIZE
     r = o[0].shape[0]
 
     state = (
         jnp.zeros((r,), jnp.int32),  # cur
         jnp.zeros((r,), jnp.int32),  # lc
+        jnp.zeros((r,), jnp.int32),  # ic (internal resume cursor)
         jnp.full((r,), -1, jnp.int32),  # pend (deferred leaf block)
         jnp.zeros((r,), jnp.int32),  # sp
         tuple(jnp.zeros((r,), jnp.int32) for _ in range(stack_slots)),
@@ -618,10 +649,10 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax,
     tmax = jnp.asarray(tmax, jnp.float32)
 
     def cond(s):
-        return jnp.any((s[0] >= 0) | (s[2] >= 0))
+        return jnp.any((s[0] >= 0) | (s[3] >= 0))
 
     def body(s):
-        cur, lc, pend, sp, stack, occ = s
+        cur, lc, ic, pend, sp, stack, occ = s
         live = cur >= 0
         row = pool.node_rows[node_offset + jnp.maximum(cur, 0)]
         has_pend = pend >= 0
@@ -633,42 +664,55 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax,
         occ = occ | found
 
         act = live & ~occ  # occluded lanes stop walking immediately
-        ok, words = _child_tests(row, o, rd, tmax, act)
+        ok, words = _child_tests(row, o, rd, tmax, act)  # (R, K)
 
-        s_slot = jnp.full_like(cur, K)
-        w_s = jnp.zeros_like(cur)
-        for c in range(K - 1, -1, -1):
-            cand = ok[c] & (words[c] < 0) & (lc <= c)
-            s_slot = jnp.where(cand, jnp.int32(c), s_slot)
-            w_s = jnp.where(cand, words[c], w_s)
+        slots = jnp.arange(K, dtype=jnp.int32)[None, :]
+        leafm = ok & (words < 0) & (slots >= lc[:, None])
+        s_slot = jnp.min(jnp.where(leafm, slots, K), axis=1)
+        w_s = jnp.where(slots == s_slot[:, None], words, 0).sum(axis=1)
         dwell = act & (s_slot < K)
         pend = jnp.where(dwell, -w_s - 1, jnp.int32(-1))
 
-        hitint = [ok[c] & (words[c] >= 0) for c in range(K)]
-        first_c = jnp.full_like(cur, K)
-        desc = jnp.zeros_like(cur)
-        for c in range(K - 1, -1, -1):
-            first_c = jnp.where(hitint[c], jnp.int32(c), first_c)
-            desc = jnp.where(hitint[c], words[c], desc)
+        # compressed stack (see _step): one (cur << 4 | slot) entry
+        intm = ok & (words >= 0) & (slots >= ic[:, None])
+        first_c = jnp.min(jnp.where(intm, slots, K), axis=1)
+        desc = jnp.where(slots == first_c[:, None], words, 0).sum(axis=1)
+        second_c = jnp.min(
+            jnp.where(intm & (slots > first_c[:, None]), slots, K), axis=1
+        )
         has_desc = first_c < K
         adv = act & ~dwell
-        for c in range(K - 1, 0, -1):
-            stack, sp = _stack_push(
-                stack, sp, words[c], adv & hitint[c] & (first_c < c)
-            )
+        stack, sp = _stack_push(
+            stack, sp,
+            jax.lax.shift_left(cur, 4) | second_c,
+            adv & (second_c < K),
+        )
         popped, sp = _stack_pop(stack, sp, adv & ~has_desc)
+        resumed = popped >= 0
+        nxt = jnp.where(
+            has_desc, desc,
+            jnp.where(resumed, jax.lax.shift_right_logical(popped, 4),
+                      jnp.int32(-1)),
+        )
         cur = jnp.where(
             live,
-            jnp.where(
-                occ, jnp.int32(-1),
-                jnp.where(dwell, cur, jnp.where(has_desc, desc, popped)),
-            ),
+            jnp.where(occ, jnp.int32(-1), jnp.where(dwell, cur, nxt)),
             cur,
         )
-        lc = jnp.where(dwell, s_slot + 1, jnp.where(adv, 0, lc))
-        return cur, lc, pend, sp, stack, occ
+        ic = jnp.where(
+            adv,
+            jnp.where(has_desc, jnp.int32(0),
+                      jnp.where(resumed, popped & 15, jnp.int32(0))),
+            ic,
+        )
+        lc = jnp.where(
+            dwell, s_slot + 1,
+            jnp.where(adv, jnp.where(has_desc, jnp.int32(0), jnp.int32(K)),
+                      lc),
+        )
+        return cur, lc, ic, pend, sp, stack, occ
 
-    return jax.lax.while_loop(cond, body, state)[5]
+    return jax.lax.while_loop(cond, body, state)[6]
 
 
 def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
@@ -677,7 +721,7 @@ def intersect_mesh_any(pool: MeshPool, node_offset, tri_offset, origins, dirs,
                        stack_slots: int | None = None):
     """Boolean occlusion query against one mesh sub-BVH: does any triangle
     intersect with t < tmax? origins/dirs: (R, 3); tmax: (R,)."""
-    if num_tris is not None and num_tris <= BLOCK_SIZE:
+    if num_tris is not None and num_tris <= _build.BLOCK_SIZE:
         t, tri, *_ = _intersect_mesh_brute(
             pool, tri_offset, num_tris, origins, dirs, tmax
         )
@@ -737,7 +781,7 @@ def traversal_cost(pool: MeshPool, node_offset, tri_offset, origins, dirs,
     """Per-ray step count (node visits + leaf-block steps) — the
     `eComplexity` debug view the reference reserves but never implements
     (render.h:45, render.cpp:516-519). Returns (R,) f32 counts."""
-    if num_tris is not None and num_tris <= BLOCK_SIZE:
+    if num_tris is not None and num_tris <= _build.BLOCK_SIZE:
         return jnp.full((origins.shape[0],), float(num_tris), jnp.float32)
 
     tile = TILE if tile is None else tile

@@ -288,9 +288,11 @@ int64_t tinsel_collapse_wide(
         for (int32_t ci = 0; ci < k; ++ci) {
             if (ci < (int32_t)ch.size()) {
                 int32_t c = ch[ci];
+                // component-major box columns: x cols [0,k), y [k,2k),
+                // z [2k,3k) (matches accel/build.py emit)
                 for (int a = 0; a < 3; ++a) {
                     uint32_t p = pack_axis(lower[3 * c + a], upper[3 * c + a]);
-                    std::memcpy(row + 3 * ci + a, &p, 4);
+                    std::memcpy(row + a * k + ci, &p, 4);
                 }
                 if (count[c] > 0) {
                     int32_t blk = block_id[c];
@@ -310,7 +312,7 @@ int64_t tinsel_collapse_wide(
                 }
             } else {
                 for (int a = 0; a < 3; ++a)
-                    std::memcpy(row + 3 * ci + a, &NANP, 4);
+                    std::memcpy(row + a * k + ci, &NANP, 4);
             }
         }
         std::memcpy(row + word_col, words, k * sizeof(int32_t));

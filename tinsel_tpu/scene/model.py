@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel.build import (
-    BLOCK_SIZE,
     BVH,
     build_bvh,
     build_wide_bvh,
@@ -475,9 +474,12 @@ class Scene:
             )
             n_padded = len(wide.perm_padded)
             ss = wide_stack_bound(wide)
-            if ss > 48:
+            # wider fan-out (set_wide_k 16) legitimately needs deeper
+            # stacks (up to k-1 pushes per level); slots are cheap
+            # (r5_periter_decomp: per-step cost is flat in slot count)
+            if ss > 128:
                 raise ValueError(
-                    f"mesh BVH needs {ss} traversal stack slots (> 48): "
+                    f"mesh BVH needs {ss} traversal stack slots (> 128): "
                     "pathologically deep tree — rebuild with a larger leaf "
                     "size or simplify the mesh"
                 )
@@ -513,12 +515,15 @@ class Scene:
             node_rows[0, _ab.NODE_WORD_COL:] = 0.0
             node_rows[0, _ab.NODE_SKIP_COL] = np.int32(-1).view(np.float32)
 
-        # (B, 192) leaf-block rows: one row gather tests a whole 16-tri
-        # leaf. Component-major within the row (16x v0x, 16x v0y, ...,
-        # 16x v2z, 48 pad): the Moller-Trumbore sweep then consumes nine
-        # CONTIGUOUS 16-wide column groups instead of 9 stride-12 slices,
-        # which is what the runtime's column-consumption cost rewards
-        # (see accel/traverse.py)
+        # (B, 12*BLOCK_SIZE) leaf-block rows: one row gather tests a whole
+        # BLOCK_SIZE-tri leaf. Component-major within the row (B x v0x,
+        # B x v0y, ..., B x v2z, 3B pad): the Moller-Trumbore sweep
+        # consumes nine CONTIGUOUS B-wide column groups instead of 9
+        # strided slices (see accel/traverse.py). Late import: tracks the
+        # active set_block_size value.
+        from ..accel import build as _abuild
+        BLOCK_SIZE = _abuild.BLOCK_SIZE
+
         def blocks192():
             if not tri_arrays["v0"]:
                 return jnp.zeros((1, BLOCK_SIZE * 12), jnp.float32)
