@@ -20,9 +20,15 @@ import jax.numpy as jnp
 
 
 def main():
+    import sys
+
     from tinsel_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+
+    import tinsel_tpu.accel.build as ab
+    if len(sys.argv) > 1:
+        ab.set_wide_k(int(sys.argv[1]))
 
     from tinsel_tpu.accel.traverse import (
         _init_state, _safe_rcp3, _split3, _step,
@@ -48,13 +54,13 @@ def main():
 
     block_base = h.tri_offset // BLOCK_SIZE
 
-    for lanes in (4096, 16384, 65536):
+    for lanes in (4096, 16384):
         o = _split3(jnp.asarray(o_all[:lanes]))
         d = _split3(jnp.asarray(d_all[:lanes]))
         rd = _safe_rcp3(d)
         tmax = jnp.full((lanes,), np.inf, np.float32)
 
-        for slots in (4, 8, 16, 24, 48):
+        for slots in (8, 16):
 
             def run(k, pool):
                 st = _init_state(lanes, tmax, slots)

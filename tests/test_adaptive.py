@@ -17,6 +17,9 @@ from tinsel_tpu.scene.model import (
 from tinsel_tpu.render.adaptive import adaptive_render, adaptive_round, TILE
 from tinsel_tpu.render.camera import CameraParams
 from tinsel_tpu.render.renderer import render
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
 
 
 def _resolve(acc):

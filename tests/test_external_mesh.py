@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 SCENE_TIN = """

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
+
 from tinsel_tpu.parallel.checkpoint import load_checkpoint
 from tinsel_tpu.parallel.failure import ChunkGuard, RenderFailure, chunk_health
 

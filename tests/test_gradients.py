@@ -50,6 +50,7 @@ def test_emission_gradient_matches_fd():
     assert abs(g_ad - g_fd) <= 0.02 * max(abs(g_fd), 1e-3), (g_ad, g_fd)
 
 
+@pytest.mark.slow
 def test_color_gradient_matches_fd():
     flat, cam, key, target, opts = _setup()
 
@@ -66,6 +67,7 @@ def test_color_gradient_matches_fd():
     assert abs(g_ad - g_fd) <= 0.03 * max(abs(g_fd), 1e-3), (g_ad, g_fd)
 
 
+@pytest.mark.slow
 def test_roughness_gradient_matches_fd():
     # depth 1: roughness only enters through the (smooth) NEE shading term,
     # no lobe-driven ray movement -> FD is well-conditioned in f32. Deeper
@@ -88,6 +90,7 @@ def test_roughness_gradient_matches_fd():
     assert abs(g_ad - g_fd) <= 0.1 * max(abs(g_fd), 1e-4), (g_ad, g_fd)
 
 
+@pytest.mark.slow
 def test_light_position_gradient_nonzero_and_matches_fd():
     flat, cam, key, target, opts = _setup()
     light_idx = flat.light_indices[0]
@@ -107,6 +110,7 @@ def test_light_position_gradient_nonzero_and_matches_fd():
     assert abs(g_ad - g_fd) <= 0.02 * max(abs(g_fd), 1e-3), (g_ad, g_fd)
 
 
+@pytest.mark.slow
 def test_camera_gradient_finite():
     flat, cam, key, target, opts = _setup()
 
@@ -177,6 +181,7 @@ def _smooth_camera_setup():
     return flat, cam, key, target, opts
 
 
+@pytest.mark.slow
 def test_camera_position_gradient_matches_fd():
     """Camera dolly vs central differences on the same key, on the smooth
     (no-visibility-edge) scene — translation moves every hit point across
@@ -197,6 +202,7 @@ def test_camera_position_gradient_matches_fd():
     assert abs(g_ad - g_fd) <= 0.05 * max(abs(g_fd), 1e-3), (g_ad, g_fd)
 
 
+@pytest.mark.slow
 def test_camera_fov_gradient_matches_fd():
     """FOV zoom vs central differences (same-key determinism). FOV scales
     ray directions through tan(fov/2) — with the whole frame on the bump
@@ -215,6 +221,7 @@ def test_camera_fov_gradient_matches_fd():
     assert abs(g_ad - g_fd) <= 0.05 * max(abs(g_fd), 1e-3), (g_ad, g_fd)
 
 
+@pytest.mark.slow
 def test_inverse_rendering_reduces_albedo_error():
     """The examples/inverse_rendering.py optimization must make real
     progress: mean visible-albedo error drops by >25% in a short run."""
@@ -227,6 +234,7 @@ def test_inverse_rendering_reduces_albedo_error():
     assert err1 < err0 * 0.75, (err0, err1)
 
 
+@pytest.mark.slow
 def test_remat_save_sets_bit_equal():
     """The remat save-set (integrator.REMAT_SAVE_NAMES) is a pure
     performance knob: every save set must produce bit-identical loss and
@@ -254,6 +262,7 @@ def test_remat_save_sets_bit_equal():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_grad_scan_accumulation_matches_chunk_mean():
     """render_loss_and_grads_scan (one-dispatch gradient accumulation)
     equals the arithmetic mean of the per-chunk results."""
@@ -277,6 +286,7 @@ def test_grad_scan_accumulation_matches_chunk_mean():
         )
 
 
+@pytest.mark.slow
 def test_aperture_gradient_finite_and_nonzero():
     """Thin-lens DOF params carry gradients (finite and nonzero, like the
     camera-position precedent above: defocus gradients are dominated by

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 
 from tinsel_tpu.render.nlm import nlm_filter
 from tinsel_tpu.ops.pallas.nlm import nlm_filter_pallas, nlm_denoise
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
 
 
 def test_pallas_nlm_matches_xla():

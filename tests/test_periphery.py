@@ -4,6 +4,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tinsel_tpu.render.nlm import average_filter, nlm_filter
 from tinsel_tpu.utils.perlin import perlin3d, fractal3d, perlin2d
@@ -125,6 +126,7 @@ def test_tungsten_loader(tmp_path):
     assert len(flat.light_indices) == 1
 
 
+@pytest.mark.slow
 def test_cli_renders_scene(tmp_path):
     # small procedural .tin written from scratch, rendered via the CLI
     tin = """
@@ -230,6 +232,7 @@ def test_aov_passes(tmp_path):
     np.testing.assert_array_equal(back, np.asarray(aovs["normal"]))
 
 
+@pytest.mark.slow
 def test_guided_nlm_preserves_edges():
     """Joint NLM with AOV guides must smooth noise while holding a hard
     albedo edge that plain NLM at equal strength blurs across."""
@@ -265,6 +268,7 @@ def test_guided_nlm_preserves_edges():
     )
 
 
+@pytest.mark.slow
 def test_cli_batch_animation(tmp_path):
     """Batch mode (main.cpp:105-118 parity): a %d scene pattern renders
     each existing frame to its own PNG and stops at the first gap."""

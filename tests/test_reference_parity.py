@@ -21,6 +21,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
+
 from tinsel_tpu.io.hdr import load_pfm
 from tinsel_tpu.render.renderer import render
 from tinsel_tpu.scene.loaders.tin import load_tin

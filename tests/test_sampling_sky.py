@@ -151,6 +151,7 @@ class TestBsdfVis:
         assert load_pfm(path).shape == (16, 32, 3)
 
 
+@pytest.mark.slow
 def test_stratified_sampler_reduces_variance():
     """Options.sampler='stratified' wires the QMC kit the reference ships
     disabled (sampler.h:6-45 behind USE_RANDOM 1): at equal spp the

@@ -100,6 +100,7 @@ def test_tungsten_sample_scene():
     assert np.isfinite(acc).all() and acc[..., :3].max() > 1e-4
 
 
+@pytest.mark.slow
 def test_many_mesh_scene_compiles_and_renders():
     """Sportscar-class scaling: 48 distinct meshes + materials must
     flatten, compile, and render in bounded time — mesh primitives trace
@@ -130,6 +131,7 @@ def test_many_mesh_scene_compiles_and_renders():
     assert t_render < 200, f"compile+render took {t_render:.0f}s"
 
 
+@pytest.mark.slow
 def test_many_mesh_trace_matches_per_mesh_oracle():
     """The unified vector-offset batch must agree exactly with tracing
     each mesh separately."""
@@ -182,6 +184,7 @@ def test_many_mesh_trace_matches_per_mesh_oracle():
     np.testing.assert_allclose(ht[both], best_t[both], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_power_light_sampling_matches_all():
     """'power' NEE (one power-CDF-selected light per lane, one shadow ray
     per bounce — tinsel has no analog) must agree with the parity 'all'

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
+
 from tinsel_tpu.parallel.sharding import (
     make_mesh,
     sharded_render_fn,

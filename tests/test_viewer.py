@@ -6,6 +6,9 @@ import time
 import urllib.request
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy end-to-end tier
 
 
 def _get(url):
