@@ -274,9 +274,12 @@ def pack_nodes(bvh: BVH, skip: np.ndarray) -> np.ndarray:
 # worst-ray step count per tile from 367 to ~101 vs the round-1 binary
 # dwell walk.
 
-WIDE_K = 4  # node fan-out; see set_wide_k (r3: per-step gather cost is a
-# per-lane FLOOR independent of consumed columns up to ~128, so wider
-# nodes cut steps/ray at the same per-step cost — benchmarks/r5_*.py)
+WIDE_K = 16  # node fan-out; see set_wide_k. r3: per-step gather cost is a
+# per-lane FLOOR independent of consumed columns up to ~128-col rows, so
+# 16-ary nodes test 4x the children at the 4-ary price and cut steps/ray
+# ~1.5x; with the compressed stack + component-major rows the measured
+# machine rate is 3.35 (k=16) vs 1.36 (k=4) Mrays/s on the 524k-tri
+# bench (benchmarks/r5_gather_shape.py, r5_chained.py)
 _NAN_PACKED = np.uint32(0x7FC07FC0)  # bf16 quiet-NaN in both halves
 
 
@@ -400,7 +403,7 @@ def build_wide_bvh(bvh: BVH, k: int | None = None,
     if k is None:
         k = WIDE_K
     row_w, word_col, skip_col = _node_layout(k)
-    if (use_native and k == 4 and bvh.num_nodes >= 4096
+    if (use_native and k in (4, 8, 16) and bvh.num_nodes >= 4096
             and bvh.count[0] == 0):
         try:
             from ..native.bvh_native import collapse_wide_native

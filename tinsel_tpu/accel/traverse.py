@@ -80,8 +80,9 @@ from . import build as _build
 TILE = 4096  # rays per early-exit tile; swept on TPU v5 (524k-tri
 # benchmark): 4096 edges out 8192 (1.21 vs 1.10 Mrays/s) — smaller tiles
 # localize the worst-ray tail that two-phase compaction then mops up.
-PHASE1_CAP = 36  # phase-1 step cap (~p95 of per-ray steps on the 524k-tri
-# benchmark); the tail beyond it is finished compacted in phase 2.
+PHASE1_CAP = 16  # phase-1 step cap (~p95 of per-ray steps at WIDE_K=16 on
+# the 524k-tri benchmark; r5_chained.py sweep); the tail beyond it is
+# finished compacted in phase 2.
 PHASE2_CAP = None  # optional cap for phase 2: when set, the schedule
 # deepens to capped-phase-2 -> second compaction -> uncapped phase 3
 # (each restart carries the tightened best_t). None = classic two-phase.

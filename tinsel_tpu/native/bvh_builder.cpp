@@ -202,7 +202,9 @@ int64_t tinsel_collapse_wide(
     const int32_t* perm, int64_t n_nodes, int32_t k, int32_t block_size,
     float* out_rows, int64_t* out_perm, uint8_t* out_mask,
     int64_t* out_counts) {
-    const int row_w = 24, word_col = 12, skip_col = 16;
+    // k-ary node layout (matches accel/build.py::_node_layout)
+    const int word_col = 3 * k, skip_col = 4 * k;
+    const int row_w = ((4 * k + 1 + 7) / 8) * 8;
     if (n_nodes <= 0 || count[0] > 0) return -1;  // root-leaf: python path
 
     auto volume = [&](int32_t c) {
@@ -284,7 +286,7 @@ int64_t tinsel_collapse_wide(
         float* row = out_rows + oi * row_w;
         std::memset(row, 0, row_w * sizeof(float));
         const auto& ch = kids[oi];
-        int32_t words[8] = {0};
+        int32_t words[16] = {0};
         for (int32_t ci = 0; ci < k; ++ci) {
             if (ci < (int32_t)ch.size()) {
                 int32_t c = ch[ci];

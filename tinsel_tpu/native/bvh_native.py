@@ -104,9 +104,9 @@ def collapse_wide_native(bvh, k: int = 4, block_size: int = 16):
     or raises on unsupported input (root-leaf trees use the Python path)."""
     from ..accel.build import WideBVH, _node_layout
 
-    if k != 4:
-        raise ValueError("native collapse supports k=4 only")
-    NODE_ROW_WIDTH, _, _ = _node_layout(4)
+    if k not in (4, 8, 16):
+        raise ValueError(f"native collapse: unsupported k={k}")
+    NODE_ROW_WIDTH, _, _ = _node_layout(k)
 
     lib = _ensure_lib()
     if not hasattr(lib, "tinsel_collapse_wide"):
@@ -154,4 +154,5 @@ def collapse_wide_native(bvh, k: int = 4, block_size: int = 16):
         real_mask=out_mask[: n_blocks * block_size].astype(bool),
         root_lower=lower[0].copy(),
         root_upper=upper[0].copy(),
+        k=k,
     )
