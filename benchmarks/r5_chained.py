@@ -21,10 +21,14 @@ def main():
 
     enable_compile_cache()
 
+    import os
+
     import tinsel_tpu.accel.build as ab
     argv = sys.argv[1:]
     if argv:
         ab.set_wide_k(int(argv[0]))
+    if os.environ.get("TINSEL_BLOCK"):
+        ab.set_block_size(int(os.environ["TINSEL_BLOCK"]))
     import tinsel_tpu.accel.traverse as trav
     tile = int(argv[1]) if len(argv) > 1 else 4096
     if len(argv) > 2:

@@ -12,7 +12,15 @@ import jax.numpy as jnp
 import pytest
 
 SCENES_DIR = os.path.join(os.path.dirname(__file__), "..", "scenes")
-ALL_SCENES = sorted(glob.glob(os.path.join(SCENES_DIR, "*.tin")))
+# heavy real-asset ports (external meshes from the read-only reference
+# tree, 100k-270k triangles) get their own slow-tier test with a
+# compile-time bound below
+HEAVY_SCENES = ("table.tin", "ajaxenv.tin", "sportscar.tin")
+ALL_SCENES = sorted(
+    p for p in glob.glob(os.path.join(SCENES_DIR, "*.tin"))
+    if os.path.basename(p) not in HEAVY_SCENES
+)
+HAVE_REF = os.path.isdir("/root/reference/data/meshes")
 
 
 def _render_small(scene, spp=4, size=48, max_depth=None):
@@ -218,3 +226,29 @@ def test_power_light_sampling_matches_all():
             sl = (slice(by * 12, by * 12 + 12), slice(bx * 12, bx * 12 + 12))
             err = abs(p[sl].mean() - a[sl].mean()) / max(a.mean(), 1e-9)
             assert err < 0.15, (by, bx, err)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not HAVE_REF, reason="reference assets unavailable")
+@pytest.mark.parametrize("name", ["table.tin", "ajaxenv.tin", "sportscar.tin"])
+def test_heavy_scene_ports(name):
+    """The real-asset heavy ports (data/table.tin, ajaxenv.tin,
+    sportscar.tin; mesh substitutions documented in each scene header)
+    load external meshes from the read-only reference tree, flatten, and
+    render finite non-black pixels — AND the jit compile stays bounded in
+    scene size (the compile-time-flatness contract, previously proven
+    only on procedural meshes)."""
+    import time
+
+    from tinsel_tpu.scene.loaders.tin import load_tin
+
+    scene = load_tin(os.path.join(SCENES_DIR, name))
+    assert scene.primitives, f"{name}: no primitives parsed"
+    t0 = time.perf_counter()
+    acc = _render_small(scene, spp=2, size=32, max_depth=3)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(acc).all(), f"{name}: non-finite pixels"
+    assert acc[..., :3].max() > 1e-4, f"{name}: black render"
+    # compile + 2spp render bound (CPU tier); a per-primitive-unrolled
+    # graph would blow far past this on a 268k-tri scene
+    assert wall < 300.0, f"{name}: compile+render took {wall:.0f}s"

@@ -582,11 +582,23 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
 def _refit_hit(pool: MeshPool, tri_offset, origins, dirs, best_tri, best_t):
     """Recompute (u, v, w, n_geo) at the winning triangle — one vectorized
     differentiable triangle test instead of carrying barycentrics through
-    the loop."""
+    the loop. Vertices come from ONE block-row gather + (R, B) one-hot
+    column reduces (~24 ns/row) instead of nine 1-D plane gathers
+    (~12 ns/lane each — measured ~4.7 ms of the r3 bigmesh walk)."""
     from ..geometry.intersect import intersect_ray_tri
 
+    B = _build.BLOCK_SIZE
     gt = tri_offset + jnp.maximum(best_tri, 0)
-    v0, v1, v2 = pool.gather_tri(gt)
+    brow = pool.block_rows[gt // B]
+    onehot = (
+        jnp.arange(B, dtype=jnp.int32)[None, :] == (gt % B)[:, None]
+    ).astype(brow.dtype)
+    comps = [
+        (onehot * brow[:, i * B : (i + 1) * B]).sum(axis=1) for i in range(9)
+    ]
+    v0 = jnp.stack(comps[0:3], axis=-1)
+    v1 = jnp.stack(comps[3:6], axis=-1)
+    v2 = jnp.stack(comps[6:9], axis=-1)
     hit, t, u, v, w, n = intersect_ray_tri(v0, v1, v2, origins, dirs)
     found = best_tri >= 0
     t = jnp.where(found, best_t, INF)
