@@ -169,11 +169,16 @@ def main():
     from tinsel_tpu.diff.gradients import render_loss, render_loss_and_grads_scan
 
     def grad_n_fn(n):
-        return jax.jit(
-            lambda f, c, k: render_loss_and_grads_scan(
+        # reduce the gradients into the output — returning loss alone
+        # lets XLA dead-code-eliminate the whole backward pass (measured:
+        # "backward" 0.92x forward)
+        def run(f, c, k):
+            loss, grads = render_loss_and_grads_scan(
                 f, c, k, target, n, **opts
-            )[0]
-        )
+            )
+            gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(grads))
+            return jnp.stack([loss, gsum])  # both live outputs
+        return jax.jit(run)
 
     glo, ghi = (1, 4) if not degraded else (1, 2)
     tg_lo = timed(grad_n_fn(glo), flat, cam, key)

@@ -3,65 +3,65 @@
 TPU-first re-expression of the reference's per-thread stack traversal
 (intersection.h:678-749 IntersectRayMesh, intersection.h:751-799 QueryBVH).
 The design is driven by an empirically measured cost model of this runtime
-(benchmarks/microbench_r2*.py, round 2):
+(r2: benchmarks/microbench_r2*.py; r3: r5_gather_shape.py, r5_overhead.py,
+r5_periter_decomp.py, all measured ON TPU v5 by slope between two in-jit
+iteration counts — single-dispatch timings are polluted by a 14-28 ms
+SESSION-VARIABLE tunnel dispatch floor):
 
-  * inside a while loop, a dependent row gather costs a ~30-40 us floor
-    per iteration PLUS ~0.3-0.7 ns per (lane x CONSUMED column) — the cost
-    follows the columns the body actually reads, not the stored row width
-    (round 1's "flat in width" held only because few columns were read);
-  * elementwise VPU math in the body is free by comparison; unrolling does
-    NOT amortize the cost (it is a serial dependency chain);
-  * ONE-SHOT (non-loop) row gathers instead cost ~24 ns per row nearly
-    independent of width; 1-D gathers are ~12 ns/lane — avoid for bulk;
-  * in lockstep, a tile runs until its WORST ray finishes — on the 524k-tri
-    benchmark the max is ~10x the mean, so the tail, not the mean, sets
-    throughput.
+  * a dependent in-loop row gather step costs ~8-9 ns PER LANE, linear in
+    lanes from 4096 up, and FLAT in both stored row width and consumed
+    columns up to ~128-col rows (+12-15% at 192-256): the gather issue
+    rate is the wall, not bandwidth and not column count;
+  * a SECOND independent gather in the same step overlaps: +~4 ns/lane
+    instead of double — the node gather and the deferred leaf-block
+    gather pay ~half price;
+  * per-child STRIDED column extracts from a gathered row are the hidden
+    killer: each (row[:, c]) costs a physical relayout (measured 10x
+    per-step blowup at 16 children) — all consumers must be contiguous
+    (R, K) column groups;
+  * elementwise VPU math on (R, K) groups is ~free next to the gathers,
+    but unrolled K-deep select chains are not (they are strided extracts
+    in disguise);
+  * in lockstep, a tile runs until its WORST ray finishes; cost is per
+    lane, so total time follows sum-over-tiles of per-tile max steps.
 
-Algorithm: **4-ary short-stack DFS with parent-dwell leaf blocks**
-(layout built by accel.build.build_wide_bvh):
+Algorithm: **16-ary compressed-stack DFS with parent-dwell leaf blocks**
+(layout built by accel.build.build_wide_bvh; WIDE_K switchable 4/8/16):
 
-  * an internal node row carries all FOUR child AABBs (bf16 pairs packed
-    one-per-axis to halve consumed columns; bounds rounded outward) plus
-    child words — one 16-column read tests four children;
-  * leaves are padded 16-triangle blocks; a hit leaf child is tested in ONE
-    step (a 192-float block gather + 16 lockstep Moller-Trumbore tests on
-    contiguous component-major column groups) while the cursor dwells at
-    the parent, so leaves own no rows and no stack entries;
-  * the cursor then descends into the first hit internal child and PUSHES
-    the other hit internal children onto a short per-lane stack (a tuple
-    of 1-D int32 carries addressed by unrolled select chains — elementwise
-    VPU work, ~free next to the gathers). When a subtree finishes, the
-    next node comes from a pop, so internal children that MISSED at their
-    parent are never visited at all. This replaced the round-2 static
-    skip-link escape chain, which walked through every internal sibling
-    hit-or-missed: simulated on the 524k-tri benchmark the stack advance
-    cuts mean steps 15.8 -> 9.0 and p95 34 -> 19 at identical per-step
-    gather cost (benchmarks/step_stats_order.py; per-ray nearest-first
-    ordering adds NOTHING on top — the whole win is skipping
-    missed-at-parent siblings, so child visit order stays slot order).
-    The stack size is the exact worst-case bound for slot-order DFS on
-    the tree, computed at build time (accel.build.wide_stack_bound).
+  * an internal node row carries SIXTEEN child AABBs, bf16-packed one
+    u32 per axis per child, COMPONENT-MAJOR (x cols [0,K), y [K,2K),
+    z [2K,3K), child words [3K,4K)) — one 64-of-72-column read tests 16
+    children at the same per-step price as 4 (flat-in-columns law), and
+    every consumer slices contiguous groups;
+  * leaves are padded 16-triangle blocks; a hit leaf child is tested in
+    ONE deferred step (a 192-float block gather overlapped with the next
+    node gather + 16 lockstep Moller-Trumbore tests on contiguous
+    component-major column groups) while the cursor dwells at the parent,
+    so leaves own no rows and no stack entries;
+  * the advance is the wide-BVH COMPRESSED stack (the TPU cousin of
+    Ylitie et al. 2017): descend into the first hit internal child at
+    slot >= ic; if more hit internal slots follow, push ONE int32 entry
+    (cur << 4 | next_slot). On pop the node row is re-gathered and the
+    scan resumes at the stored slot — hits are re-derived and can only
+    shrink under the tightened best_t (a free prune). Stack depth is
+    bounded by the count of >=2-internal-children ancestors (6 slots on
+    the 524k-tri sphere at K=16, vs 64 for the old value stack), and the
+    push is one select chain instead of K-1.
 
-The lockstep tail is cut by TWO-PHASE tiling: phase 1 runs every tile with
-a step cap (early-exiting tiles stop sooner); the few unfinished rays are
-then compacted to the front (one stable argsort) and phase 2 finishes them
-— tiles of finished rays exit after a single iteration. Phase 2 RESTARTS
-unfinished rays from the root carrying only (best_t, best_tri): the
-tightened best_t prunes most of the re-walk, and not carrying the stack
-keeps the compaction permutation to a handful of arrays. Triangles are
-pre-deindexed at scene-flatten time in block-padded order so a leaf is one
-contiguous 192-float row. Net effect on the 524k-tri closest-hit
-benchmark: 0.33 (round 1) -> 1.21 Mrays/s (round 2 skip-link walk).
+The lockstep tail is cut by TWO-PHASE tiling: phase 1 runs every tile
+with a step cap (early-exiting tiles stop sooner); the few unfinished
+rays are compacted to the front (one stable argsort) and phase 2
+finishes them, RESTARTING from the root with the tightened best_t.
+Triangles are pre-deindexed at scene-flatten time in block-padded order
+so a leaf is one contiguous 192-float row.
 
-Measured-and-rejected this round (benchmarks/ scripts, git history):
-  * collect-then-test (node-only walk records per-ray block lists, then
-    one dense batched block sweep): 0.62 vs 1.21 Mrays/s — the no-pruning
-    walk pays more steps than the inline walk saves in block columns;
-  * per-tile frustum pre-walk: silhouette frusta visit ~3000 nodes, and
-    256-lane walks cannot hide the per-iteration floor;
-  * one-hot-matmul node lookup: no better than gather at any table size;
-  * jnp.nonzero compaction + segment_min reduction: ~30 ms of scatter
-    pathology, replaced by grid reshapes before the path was removed.
+Measured on the 524k-tri closest-hit benchmark (machine rate, dispatch
+excluded): 0.33 (r1) -> ~1.4 (r2 design re-measured honestly) -> 3.35
+Mrays/s (r3: K=16 + compressed stack + component-major rows, tile 4096
+cap 16). Swept-and-rejected on TPU this round: K=4/8 (1.36/2.41), tiles
+1024/2048/8192/16384 (1.78-3.35 with 4096 best), BLOCK_SIZE 32/64 (2.5
+-2.7 — wider block rows cost more than the halved dwell steps save),
+and the K-1-push value stack (0.61 at K=16).
 
 Mosaic/Pallas has no large-table per-lane dynamic gather (indices must
 match the table shape), so this stays pure JAX by design — measured and
