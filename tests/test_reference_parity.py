@@ -86,12 +86,21 @@ CASES = [
         "tests/goldens/ref_veach_96x96_s256.pfm",
         256, 96, 96, 0.02, 0.03,
     ),
+    # MID-RES TRIPWIRE (VERDICT r2 #10): 128^2 at 256 spp — few-percent
+    # energy drifts that hide under 32x32 goldens can't hide here.
+    # Measured 2026-08-19: global ratio 0.9998, worst region 1.39%
+    (
+        "tests/data/cornell_parity.tin",
+        "tests/goldens/ref_cornell_128x128_s256.pfm",
+        256, 128, 128, 0.01, 0.03,
+    ),
 ]
 
 
 @pytest.mark.parametrize("scene_path,golden,spp,w,h,ratio_tol,region_tol",
                          CASES, ids=["simple", "cornell", "gloss",
-                                     "meshlight", "env", "glass", "veach"])
+                                     "meshlight", "env", "glass", "veach",
+                                     "cornell_midres"])
 def test_reference_parity(scene_path, golden, spp, w, h, ratio_tol,
                           region_tol):
     ref = load_pfm(os.path.join(ROOT, golden))[::-1]  # bottom-up scanlines
