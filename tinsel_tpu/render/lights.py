@@ -68,6 +68,13 @@ def primitive_sample(scene: SceneFlat, j: int, times, key):
         bw = 1.0 - bu - bv
         a, b, c = scene.pool.gather_tri(tri)
         n0, n1, n2 = scene.pool.gather_normals(tri)
+        from .trace import MESH_VERTEX_GRADS
+        if not MESH_VERTEX_GRADS:  # colliding scatter-add backward;
+            # light position/size grads flow via the transform (tr)
+            import jax.lax as _lax
+            a, b, c, n0, n1, n2 = map(
+                _lax.stop_gradient, (a, b, c, n0, n1, n2)
+            )
         pos_l = bu[..., None] * a + bv[..., None] * b + bw[..., None] * c
         nrm_l = bu[..., None] * n0 + bv[..., None] * n1 + bw[..., None] * n2
         pos = transform_point(tr, pos_l)

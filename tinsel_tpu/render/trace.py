@@ -17,6 +17,14 @@ inside the intersection, exactly like intersection.h:953.
 
 from __future__ import annotations
 
+MESH_VERTEX_GRADS = False  # gradient flow INTO mesh vertex/normal tables.
+# Default off: the vertex gathers' backward is a scatter-add with massive
+# index collisions (every ray hitting one quad accumulates into the same
+# 9 rows), measured as a dominant term of the 5.4x backward/forward ratio
+# on the cornell bench. Transform/material/emission/camera gradients are
+# unaffected (they flow through the instance transform and shading chain,
+# not the vertex tables). Flip on for mesh-vertex-level optimization.
+
 import dataclasses
 
 import jax
@@ -269,9 +277,11 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
 
         gt = jnp.asarray(toff_t)[inst] + jnp.maximum(tri, 0)
         v0, v1, v2 = scene.pool.gather_tri(gt)
+        n0, n1, n2 = scene.pool.gather_normals(gt)
+        if not MESH_VERTEX_GRADS:  # see module knob
+            v0, v1, v2, n0, n1, n2 = map(sg, (v0, v1, v2, n0, n1, n2))
         _, t, u, v, w, n_geo = intersect_ray_tri(v0, v1, v2, ow, dw)
         t = jnp.where(hit & (tri >= 0), t, INF)
-        n0, n1, n2 = scene.pool.gather_normals(gt)
         ns = u[..., None] * n0 + v[..., None] * n1 + w[..., None] * n2
         # keep the smooth normal on the geometric side
         ns = ns * jnp.where(dot(ns, n_geo) < 0.0, -1.0, 1.0)[..., None]
