@@ -273,18 +273,25 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
     # Rematerialized bounce: the forward saves ONLY the traversal results
     # (tagged 'hit' in render/trace.py) plus the scan carry; the backward
     # recomputes the elementwise shading instead of loading its residuals.
-    # Measured on TPU v5 (cornell 256^2 d4 material grads): the un-remat'd
-    # backward spills enough residual traffic to cost 4-6x the forward;
-    # remat with saved hits brings fwd+bwd to ~2.6x fwd. Forward-only
-    # callers are unaffected (remat changes nothing without a cotangent).
-    # The checkpoint must wrap the cond, not sit inside it (the branches
-    # would disagree on residual signatures).
-    bounce_or_skip = jax.checkpoint(
-        bounce_or_skip,
-        policy=jax.checkpoint_policies.save_only_these_names(
-            *REMAT_SAVE_NAMES
-        ),
-    )
+    # Measured on TPU v5 (cornell 256^2 d4 material grads, r3
+    # dispatch-free slope method): un-remat'd fwd+bwd is ~10.8x the
+    # matched forward; this hit-save policy brings it to ~4.7x at 4 spp
+    # per chunk (r2's "~2.6x" was measured with the session-variable
+    # 14-28 ms tunnel dispatch inflating the forward baseline). Wider
+    # save sets (oh/mat/nee) measure within noise of hit-only
+    # (benchmarks/grad_sweep_r4.py). The residual gap is HBM traffic:
+    # compiled cost analysis reads 14.6 GB in the backward vs 2.2 GB
+    # forward at equal rays. Forward-only callers are unaffected (remat
+    # changes nothing without a cotangent). The checkpoint must wrap the
+    # cond, not sit inside it (the branches would disagree on residual
+    # signatures).
+    if REMAT_SAVE_NAMES is not None:  # None = no checkpoint (A/B knob)
+        bounce_or_skip = jax.checkpoint(
+            bounce_or_skip,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                *REMAT_SAVE_NAMES
+            ),
+        )
 
     state, _ = jax.lax.scan(bounce_or_skip, state, jnp.arange(max_depth))
     return state["rad"]
