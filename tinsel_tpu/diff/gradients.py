@@ -34,6 +34,9 @@ def linear_image(accum):
 
 
 def render_loss(scene: SceneFlat, cam, key, target, **opts):
+    # drop the dead-bounce cond: under AD it forces the rematted backward
+    # to re-execute the stop-gradient traversal sweeps (integrator.py)
+    opts.setdefault("dead_bounce_skip", False)
     accum = render_pass(scene, cam, key, **opts)
     img = linear_image(accum)
     return jnp.mean((img - target) ** 2)

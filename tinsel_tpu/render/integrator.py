@@ -246,11 +246,19 @@ def _make_bounce(scene: SceneFlat, times, key, r, rr_depth: int = 0,
 
 
 def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
-               rr_depth: int = 0, light_sampling: str = "all"):
+               rr_depth: int = 0, light_sampling: str = "all",
+               dead_bounce_skip: bool = True):
     """Trace a batch of paths; returns (R, 3) radiance. The differentiable
     backend: `lax.scan` over bounces (reverse-mode needs the static loop
     structure), with a whole-bounce cond skip once every lane is dead so
     trailing bounces of deep scenes (furnace maxDepth 128) are ~free.
+
+    dead_bounce_skip=False drops that cond: under reverse-mode AD the
+    cond branch is an opaque remat unit — partial eval cannot DCE the
+    stop-gradient traversal/NEE sweeps out of the rematted recompute
+    through a branch boundary, so the backward re-executes them all.
+    Gradient callers (diff/gradients.py) disable the skip; forward
+    rendering keeps it (deep scenes profit, nothing differentiates).
 
     origins/dirs: (R, 3); times: (R,); key: single threefry key (all draws
     derive from it by fold_in, independent across lanes by shape).
@@ -260,6 +268,8 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
     state = _initial_state(origins, dirs)
 
     def bounce_or_skip(st, i):
+        if not dead_bounce_skip:
+            return bounce(st, i), None
         return (
             jax.lax.cond(
                 jnp.any(st["alive"]) | (i == 0),

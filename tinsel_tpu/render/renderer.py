@@ -111,8 +111,12 @@ def render_pass(
     sampler: str = "random",
     rr_depth: int = 0,
     light_sampling: str = "all",
+    dead_bounce_skip: bool = True,
 ):
-    """One pass of `samples_per_pass` spp -> (H, W, 4) RGBA increment."""
+    """One pass of `samples_per_pass` spp -> (H, W, 4) RGBA increment.
+
+    dead_bounce_skip=False (gradient callers): see path_trace — the cond
+    is an opaque remat unit under reverse-mode AD."""
     s = samples_per_pass
     rx, ry, times = _sample_grid(width, height, cam, key, s, sampler)
     raster = jnp.stack([rx, ry], axis=-1).reshape(-1, 2)
@@ -132,12 +136,18 @@ def render_pass(
             [rgb, jnp.ones((height, width, 1), jnp.float32)], axis=-1
         )
 
-    integrate = path_trace_while if backend == "while" else path_trace
-    radiance = integrate(
-        scene, origins, dirs, times_flat, max_depth,
-        jax.random.fold_in(key, 2), rr_depth=rr_depth,
-        light_sampling=light_sampling,
-    )
+    if backend == "while":
+        radiance = path_trace_while(
+            scene, origins, dirs, times_flat, max_depth,
+            jax.random.fold_in(key, 2), rr_depth=rr_depth,
+            light_sampling=light_sampling,
+        )
+    else:
+        radiance = path_trace(
+            scene, origins, dirs, times_flat, max_depth,
+            jax.random.fold_in(key, 2), rr_depth=rr_depth,
+            light_sampling=light_sampling, dead_bounce_skip=dead_bounce_skip,
+        )
     if math.isfinite(clamp):
         radiance = clamp_length(radiance, clamp)
     sample_rgb = radiance.reshape(s, height, width, 3)
