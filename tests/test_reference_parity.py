@@ -67,12 +67,12 @@ CASES = [
         512, 96, 64, 0.02, 0.03,
     ),
     # SPECULAR TRANSMISSION at maxDepth 8 (glass sphere in the cornell
-    # room): measured 2026-08-19 at 512 spp global ratio 0.9906 — a
-    # documented ~1% deficit that GROWS with depth (d1 -0.2%, d2 -0.9%,
-    # d3 -1.2%): a small per-bounce energy difference in the transmission
-    # chain, not a localized artifact (the bright refracted blob itself
-    # matches to ~1% relative). Region errors are relative to the
-    # region's own brightness (see below), worst measured 3.0%
+    # room). This case CAUGHT a real bug: a 1e-6 clamp in gtr2's
+    # denominator capped near-mirror peaks at 0.32 (instead of ~3e5 at
+    # the 0.001 roughness floor), deleting sharp highlights — the
+    # light's reflection on the ball was missing and every glassy
+    # interface leaked ~1%/bounce. Fixed 2026-08-19; measured at 512 spp
+    # global ratio 1.0024, worst region 3.0%
     (
         "tests/data/glass_parity.tin",
         "tests/goldens/ref_glass_64x64_s512.pfm",

@@ -63,7 +63,13 @@ def gtr1(n_dot_h, a):
 def gtr2(n_dot_h, a):
     a2 = a * a
     t = 1.0 + (a2 - 1.0) * n_dot_h * n_dot_h
-    return a2 / (PI * jnp.maximum(t * t, _EPS))
+    # t >= a^2 > 0 for any |n_dot_h| <= 1, so t^2 >= a^4 >= 1e-12 at the
+    # reference's 0.001 roughness floor — a 1e-6 clamp here CAPPED the
+    # near-mirror peak at 0.32 instead of ~3e5, deleting sharp specular
+    # highlights entirely (found via reference parity: the light's
+    # reflection on the glass ball was missing; r3). Keep only a
+    # denormal-guard floor far below the math's own minimum.
+    return a2 / (PI * jnp.maximum(t * t, 1e-20))
 
 
 def smith_ggx(n_dot_v, alpha_g):
