@@ -83,6 +83,11 @@ TILE = 4096  # rays per early-exit tile; swept on TPU v5 (524k-tri
 PHASE1_CAP = 16  # phase-1 step cap (~p95 of per-ray steps at WIDE_K=16 on
 # the 524k-tri benchmark; r5_chained.py sweep); the tail beyond it is
 # finished compacted in phase 2.
+PHASE_RESTART = True  # phase-2 entry: re-walk from the root with the
+# tightened best_t (True) vs resume the carried walk state (False).
+# Measured on TPU (524k bench, k=16 tile 4096 cap 16): restart 3.35 vs
+# resume 2.84 Mrays/s — the tightened-best_t re-walk prunes more than
+# resuming saves, even with the compressed stack's cheap permutation.
 PHASE2_CAP = None  # optional cap for phase 2: when set, the schedule
 # deepens to capped-phase-2 -> second compaction -> uncapped phase 3
 # (each restart carries the tightened best_t). None = classic two-phase.
@@ -501,10 +506,12 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
                stack_slots, with_steps=False):
     """Two-phase tiled traversal: capped phase 1 over all tiles, then a
     stable compaction of unfinished rays to the front, then uncapped
-    phase 2 (tiles of finished rays exit after one iteration). Phase 2
-    RESTARTS unfinished rays from the root with the phase-1 best_t — the
-    tightened bound prunes most of the re-walk, and not carrying the
-    stack/cursor keeps the compaction permutation small.
+    phase 2 (tiles of finished rays exit after one iteration).
+    PHASE_RESTART picks the phase-2 entry state: True re-walks from the
+    root with the tightened best_t (the r2 design, small permutation);
+    False carries the WHOLE walk state through the compaction — with the
+    compressed stack that is only ~10 extra (R,) int32 permutes, and the
+    tail rays resume instead of re-walking.
     Returns (best_t, best_tri[, steps])."""
     r = origins.shape[0]
     node_offset = jnp.broadcast_to(
@@ -569,11 +576,16 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
         d = tuple(c[perm] for c in d)
         no = no[perm]
         to = to[perm]
-        st = _init_state(r, st1["best_t"][perm], stack_slots, with_steps)
-        st["cur"] = jnp.where(finished[perm], jnp.int32(-1), jnp.int32(0))
-        st["best_tri"] = st1["best_tri"][perm]
-        if with_steps:
-            st["steps"] = st1["steps"][perm]
+        if PHASE_RESTART:
+            st = _init_state(r, st1["best_t"][perm], stack_slots, with_steps)
+            st["cur"] = jnp.where(
+                finished[perm], jnp.int32(-1), jnp.int32(0)
+            )
+            st["best_tri"] = st1["best_tri"][perm]
+            if with_steps:
+                st["steps"] = st1["steps"][perm]
+        else:
+            st = jax.tree_util.tree_map(lambda x: x[perm], st1)
     out = _map_tiles(pool, no, to, o, d, st, tile, None, with_steps)
     inv = jnp.argsort(total_perm)
     return tuple(jnp.take(x, inv) for x in results(out))
