@@ -83,6 +83,12 @@ TILE = 4096  # rays per early-exit tile; swept on TPU v5 (524k-tri
 PHASE1_CAP = 16  # phase-1 step cap (~p95 of per-ray steps at WIDE_K=16 on
 # the 524k-tri benchmark; r5_chained.py sweep); the tail beyond it is
 # finished compacted in phase 2.
+PHASE1_FORI = True  # run capped phases as fixed-trip fori_loops (no
+# any()-cond per iteration, no early tile exit). Measured on TPU (524k
+# bench, k=16 tile 4096): fori 3.45 vs while 3.35 Mrays/s at cap 16;
+# lower caps with fori lose (12: 2.78, 10: 2.33 — the phase-2 restart
+# re-walk costs more than the saved phase-1 iterations), and a 3-phase
+# cap 8/16 schedule loses big (1.39).
 PHASE_RESTART = True  # phase-2 entry: re-walk from the root with the
 # tightened best_t (True) vs resume the carried walk state (False).
 # Measured on TPU (524k bench, k=16 tile 4096 cap 16): restart 3.35 vs
@@ -442,6 +448,18 @@ def _traverse_tile(pool, node_offset, tri_offset, o, d, state, cap=None,
         return out
 
     init = dict(state)
+    if use_counter and PHASE1_FORI:
+        # capped phase as a fixed-trip fori: drops the per-iteration
+        # any()-reduce cond at the price of early-exiting tiles running
+        # to the cap anyway (A/B knob; measured on TPU — see PHASE1_FORI)
+        def fbody(i, s):
+            live = unfinished(s)
+            out = _step(pool, node_offset, block_base, o, d, rd, s)
+            if with_steps:
+                out["steps"] = s["steps"] + live.astype(jnp.float32)
+            return out
+
+        return jax.lax.fori_loop(0, cap, fbody, init)
     if use_counter:
         init["it"] = jnp.int32(0)
     out = jax.lax.while_loop(cond, body, init)
