@@ -127,3 +127,43 @@ def test_reference_parity(scene_path, golden, spp, w, h, ratio_tol,
                 f"region ({by},{bx}): ours {o_m:.4f} vs ref {r_m:.4f} "
                 f"(err {err:.4f})"
             )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/src"),
+    reason="reference sources unavailable",
+)
+def test_live_cross_validation_simple():
+    """End-to-end LIVE re-validation (r2 weak #8: the committed ref PFMs
+    were rendered once; nothing re-checked them): compile the reference's
+    CPU renderer from its read-only sources and compare a fresh render
+    against ours at equal spp. Catches both drift in this framework AND
+    bit-rot in the committed-golden pipeline. Skips if no compiler."""
+    import shutil
+    import subprocess
+    import sys
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ available")
+    sys.path.insert(0, ROOT)
+    from benchmarks.cross_validate import build_reference
+
+    try:
+        exe = build_reference()
+    except subprocess.CalledProcessError as e:  # pragma: no cover
+        pytest.skip(f"reference build failed: {e}")
+
+    pfm = "/tmp/tinsel_live_ref.pfm"
+    subprocess.run(
+        [exe, os.path.join(ROOT, "scenes/simple.tin"), pfm, "128", "96",
+         "48"],
+        check=True, capture_output=True, cwd=ROOT,
+    )
+    ref = load_pfm(pfm)[::-1]
+    sc = load_tin(os.path.join(ROOT, "scenes/simple.tin"))
+    opts = dataclasses.replace(sc.options, width=96, height=48)
+    acc = np.asarray(render(sc, spp=128, options=opts))
+    img = acc[..., :3] / np.maximum(acc[..., 3:4], 1e-7)
+    ratio = float(img.mean() / ref.mean())
+    assert abs(ratio - 1.0) < 0.03, f"live cross-validation ratio {ratio:.4f}"
