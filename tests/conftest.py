@@ -22,5 +22,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent XLA compile cache: most of the suite's wall clock is CPU
+# compiles of the integrator scan; a warm cache cuts repeat runs several
+# fold (opt out with TINSEL_NO_COMPILE_CACHE=1)
+from tinsel_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 assert jax.devices()[0].platform == "cpu"
 assert jax.device_count() >= 8, "expected 8 virtual CPU devices for sharding tests"
