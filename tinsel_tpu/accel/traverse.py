@@ -167,6 +167,10 @@ class MeshHandle:
     area: float
     root_lower: tuple  # (3,) mesh-local root AABB, static floats
     root_upper: tuple
+    real_tris: int = 0  # unpadded triangle count (0 = unknown: use padded).
+    # The single-block brute path slices only the real rows — padding
+    # repeats the last real triangle, an 8x masked-sweep waste for 2-tri
+    # quads (the cornell walls) if tested
     stack_slots: int = 48  # exact worst-case DFS stack bound of this
     # sub-BVH (accel.build.wide_stack_bound); the traversal carry
     # allocates this many per-lane slots

@@ -253,7 +253,8 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
             sg(scene.pool), noff_b, toff_b,
             sg(o_l.reshape(n_inst * r, 3)), sg(d_l.reshape(n_inst * r, 3)),
             sg(tmax_i.reshape(n_inst * r)),
-            num_tris=handles[0].num_tris if is_tiny else None,
+            num_tris=(handles[0].real_tris or handles[0].num_tris)
+            if is_tiny else None,
             stack_slots=max(h.stack_slots for h in handles),
         )
         # local t equals world t: the transform maps the ray's parameter
@@ -379,7 +380,8 @@ def trace_any(scene: SceneFlat, origins, dirs, times, tmax) -> jax.Array:
         oc = intersect_mesh_any(
             sg(scene.pool), noff_b, toff_b, sg(o_l.reshape(n_inst * r, 3)),
             sg(d_l.reshape(n_inst * r, 3)), sg(tm),
-            num_tris=handles[0].num_tris if is_tiny else None,
+            num_tris=(handles[0].real_tris or handles[0].num_tris)
+            if is_tiny else None,
             stack_slots=max(h.stack_slots for h in handles),
         )
         occ = occ | oc.reshape(n_inst, r).any(axis=0)

@@ -489,6 +489,7 @@ class Scene:
                     num_nodes=wide.num_nodes,
                     tri_offset=tri_off,
                     num_tris=n_padded,
+                    real_tris=int(len(m.indices)),
                     area=float(m.area),
                     root_lower=tuple(float(x) for x in wide.root_lower),
                     root_upper=tuple(float(x) for x in wide.root_upper),
