@@ -252,3 +252,106 @@ def test_heavy_scene_ports(name):
     # compile + 2spp render bound (CPU tier); a per-primitive-unrolled
     # graph would blow far past this on a 268k-tri scene
     assert wall < 300.0, f"{name}: compile+render took {wall:.0f}s"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not HAVE_REF, reason="reference assets unavailable")
+def test_paniq_instancing_palette_nlm():
+    """TestPaniq analog (testMaterials.h:175-341, the BASELINE 'Instancing
+    + denoise' config): a grid of instanced brain meshes colored from
+    palette.tga (sRGB -> linear), on a plane, denoised with NLM. Asserts
+    real-asset instancing DEDUP (one sub-BVH shared by every instance),
+    palette colors reaching the material table, and a finite NLM pass."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tinsel_tpu.core.color import srgb_to_linear
+    from tinsel_tpu.io.tga import load_tga
+    from tinsel_tpu.render.nlm import nlm_filter
+    from tinsel_tpu.render.renderer import render
+    from tinsel_tpu.scene.loaders.mesh_io import import_mesh
+    from tinsel_tpu.scene.loaders.tin import _look_at_quat
+    from tinsel_tpu.scene.model import (
+        Camera, HostTransform, Material, MESH, PLANE, Primitive, Scene,
+        Sky, SPHERE,
+    )
+
+    pal = load_tga("/root/reference/data/meshes/../palette.tga")
+    assert pal.shape == (4, 8, 3)
+
+    mesh = import_mesh("/root/reference/data/meshes/brain.ply")
+    mesh.normalize(2.0)
+    mesh.positions = (mesh.positions - 1.0).astype(np.float32)
+    mesh.build()
+
+    scene = Scene()
+    scene.sky = Sky(
+        horizon=np.array([0.5, 0.5, 0.55], np.float32),
+        zenith=np.array([0.15, 0.2, 0.35], np.float32),
+    )
+    spacing = 2.5
+    n_inst = 0
+    for y in range(2):       # 2x8 sub-grid keeps the CPU test fast; the
+        for x in range(8):   # full 4x8 grid runs in benchmarks/run_all.py
+            c = srgb_to_linear(pal[y, x].astype(np.float32) / 255.0)
+            scene.add_primitive(
+                Primitive(
+                    type=MESH,
+                    mesh=mesh,  # same Mesh object => instancing dedup
+                    start_transform=HostTransform(
+                        p=np.array(
+                            [x * spacing, 1.0 + y * spacing, 0.0],
+                            np.float32,
+                        )
+                    ),
+                    material=Material(
+                        color=np.asarray(c, np.float32), roughness=0.01
+                    ),
+                )
+            )
+            n_inst += 1
+    scene.add_primitive(
+        Primitive(
+            type=PLANE,
+            plane=np.array([0, 1, 0, 0], np.float32),
+            material=Material(color=np.full(3, 0.5, np.float32),
+                              roughness=0.5),
+        )
+    )
+    scene.add_primitive(
+        Primitive(
+            type=SPHERE, radius=2.0,
+            start_transform=HostTransform(
+                p=np.array([8.0, 14.0, -8.0], np.float32)
+            ),
+            material=Material(color=np.zeros(3, np.float32),
+                              emission=np.full(3, 60.0, np.float32)),
+            light_samples=1,
+        )
+    )
+    pos = np.array([8.75, 3.0, -14.0], np.float32)
+    scene.camera = Camera(
+        position=pos,
+        rotation=_look_at_quat(pos, np.array([8.75, 2.2, 0.0], np.float32)),
+    )
+    flat = scene.flatten()
+
+    # instancing dedup: 16 mesh instances share ONE sub-BVH in the pool
+    handles = {
+        (ps.mesh.node_offset, ps.mesh.tri_offset)
+        for ps in flat.prim_static if ps.type == MESH
+    }
+    assert len(handles) == 1, handles
+    # palette colors reached the material table (linearized, distinct)
+    cols = np.asarray(flat.materials.color[:n_inst])
+    assert len(np.unique(cols.round(4), axis=0)) > 8
+
+    opts = dataclasses.replace(scene.options, width=48, height=32,
+                               max_depth=2)
+    acc = np.asarray(render(scene, spp=4, options=opts))
+    img = acc[..., :3] / np.maximum(acc[..., 3:4], 1e-7)
+    assert np.isfinite(img).all() and img.max() > 1e-3
+    den = np.asarray(nlm_filter(jnp.asarray(img), 200.0, 1))
+    assert np.isfinite(den).all()
+    assert abs(den.mean() - img.mean()) / max(img.mean(), 1e-6) < 0.25
