@@ -15,7 +15,7 @@ SCENES_DIR = os.path.join(os.path.dirname(__file__), "..", "scenes")
 # heavy real-asset ports (external meshes from the read-only reference
 # tree, 100k-270k triangles) get their own slow-tier test with a
 # compile-time bound below
-HEAVY_SCENES = ("table.tin", "ajaxenv.tin", "sportscar.tin")
+HEAVY_SCENES = ("table.tin", "ajaxenv.tin", "sportscar.tin", "ajax.tin")
 ALL_SCENES = sorted(
     p for p in glob.glob(os.path.join(SCENES_DIR, "*.tin"))
     if os.path.basename(p) not in HEAVY_SCENES
@@ -230,7 +230,9 @@ def test_power_light_sampling_matches_all():
 
 @pytest.mark.slow
 @pytest.mark.skipif(not HAVE_REF, reason="reference assets unavailable")
-@pytest.mark.parametrize("name", ["table.tin", "ajaxenv.tin", "sportscar.tin"])
+@pytest.mark.parametrize(
+    "name", ["table.tin", "ajaxenv.tin", "sportscar.tin", "ajax.tin"]
+)
 def test_heavy_scene_ports(name):
     """The real-asset heavy ports (data/table.tin, ajaxenv.tin,
     sportscar.tin; mesh substitutions documented in each scene header)
