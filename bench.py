@@ -122,7 +122,7 @@ def main():
     from tinsel_tpu.render.renderer import make_render_pass
 
     pass_fn = make_render_pass(scene.options, spp_chunk)
-    key = jax.random.key(0)
+    key = jax.random.key(0, impl="rbg")
     acc0 = jnp.zeros((height, width, 4), jnp.float32)
 
     def n_chunk_fn(n):

@@ -266,7 +266,7 @@ def run_viewer(scene, options, seed: int = 0, port: int = 8000,
 
     flat = scene.flatten()
     cam = CameraParams.from_host(scene.camera)
-    key = jax.random.key(seed)
+    key = jax.random.key(seed, impl="rbg")
 
     chunk = max(1, min(16, (1 << 20) // max(options.width * options.height, 1)))
     steps = {}

@@ -211,7 +211,7 @@ def render(scene_host, spp: int, seed: int = 0, options: Options = None,
         samples_per_pass = max(1, min(spp, (1 << 20) // max(options.width * options.height, 1)))
     n_full, rem = divmod(spp, samples_per_pass)
     step = make_accumulate_fn(options, samples_per_pass)
-    key = jax.random.key(seed)
+    key = jax.random.key(seed, impl=getattr(options, "prng", "rbg"))
 
     accum = jnp.zeros((options.height, options.width, 4), jnp.float32)
     for c in range(n_full):

@@ -270,6 +270,13 @@ class Options:
     rr_depth: int = 0  # Russian-roulette start bounce; 0 = off (parity:
     # the reference runs every path to maxDepth, render.cpp:250). N>0
     # terminates low-throughput paths from bounce N on, unbiased.
+    prng: str = "rbg"  # PRNG key impl for render entry points: "rbg"
+    # (XLA RngBitGenerator; measured +6% cornell forward — threefry's
+    # xor/or chains are a visible VPU cost) | "threefry" (jax default,
+    # backend-stable bits). Draw-level determinism per seed holds for
+    # both; rbg bits may differ across backends/compiler versions, which
+    # only matters for bit-exact golden stability (goldens are
+    # CPU-generated and CPU-checked).
     light_sampling: str = "all"  # "all" (parity: one NEE shadow ray per
     # light per bounce, render.cpp:175) | "power" (pick ONE light by a
     # power-proportional CDF: O(1) shadow traversals per bounce however
