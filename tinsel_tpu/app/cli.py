@@ -146,7 +146,7 @@ def render_one(scene, args, out_path: str):
 
     flat = scene.flatten()
     cam = CameraParams.from_host(scene.camera)
-    key = jax.random.key(args.seed, impl=getattr(options, "prng", "rbg"))
+    key = jax.random.key(args.seed, impl=getattr(o, "prng", "rbg"))
 
     spp = o.max_samples if o.mode == "pathtrace" else 1
 
