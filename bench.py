@@ -210,6 +210,16 @@ def main():
     hbm_gbps = _measure_hbm_bw()
     bigmesh_sol_mrays = hbm_gbps * 1e9 / _BIGMESH_BYTES_PER_RAY / 1e6
     fwd_sol_rays = hbm_gbps * 1e9 / _FWD_BYTES_PER_RAY
+    # the MEASURED limiter for traversal is not HBM bandwidth but the
+    # per-lane issue rate of dependent in-loop gathers (~8.5 ns/lane/step,
+    # r5_gather_shape.py/r5_periter_decomp.py, flat in row width); with
+    # the k=16 tree's measured 5.5 mean steps/ray the issue-rate roofline
+    # is the honest ceiling for THIS machine's lockstep walk
+    _GATHER_NS_PER_LANE_STEP = 8.5
+    _MEAN_STEPS_PER_RAY = 5.5  # k=16 524k-tri bench (step_stats_stack_kary)
+    bigmesh_issue_sol_mrays = 1e3 / (
+        _GATHER_NS_PER_LANE_STEP * _MEAN_STEPS_PER_RAY
+    )
 
     platform = jax.devices()[0].platform
     if degraded:
@@ -234,6 +244,12 @@ def main():
                 "bigmesh_sol_mrays_per_sec": round(bigmesh_sol_mrays, 1),
                 "bigmesh_sol_fraction": round(
                     bigmesh_mrays / bigmesh_sol_mrays, 4
+                ) if bigmesh_mrays else 0.0,
+                "bigmesh_issue_sol_mrays_per_sec": round(
+                    bigmesh_issue_sol_mrays, 1
+                ),
+                "bigmesh_issue_sol_fraction": round(
+                    bigmesh_mrays / bigmesh_issue_sol_mrays, 4
                 ) if bigmesh_mrays else 0.0,
                 "fwd_sol_rays_per_sec": round(fwd_sol_rays),
                 "fwd_sol_fraction": round(fwd_rays_per_sec / fwd_sol_rays, 4),
