@@ -92,6 +92,12 @@ def main():
     sc = envmesh_scene(width=256, height=256, max_depth=4, detail=512)
     results.append(_bench_scene("envmesh_524k_4spp", sc, 4)[0])
 
+    # 4b. full ajaxenv configuration: HDR-probe NEE + escape MIS over the
+    # same ~500k-tri BVH (probe branch of render/lights.py at scale)
+    sc = envmesh_scene(width=256, height=256, max_depth=4, detail=512,
+                       probe=True)
+    results.append(_bench_scene("probemesh_524k_4spp", sc, 4)[0])
+
     # 5. paniq-class instancing + NLM post-pass
     sc = instances_scene(width=256, height=256, max_depth=3, grid=4)
     rec, acc = _bench_scene("instances_16spp", sc, 16)

@@ -129,11 +129,13 @@ def cornell_scene(width: int = 256, height: int = 256, max_depth: int = 4) -> Sc
 
 
 def envmesh_scene(width: int = 256, height: int = 256, max_depth: int = 4,
-                  detail: int = 256) -> Scene:
+                  detail: int = 256, probe: bool = False) -> Scene:
     """Environment-lit high-poly mesh over a ground plane — the ajaxenv.tin
     analog (env-lit ~500k-tri bust, BASELINE.json configs): a Perlin-
-    displaced sphere of 2*detail^2 triangles under the gradient sky. The
-    end-to-end heavy-traversal benchmark scene."""
+    displaced sphere of 2*detail^2 triangles under the gradient sky, or
+    under a procedural HDR probe (probe=True: probe NEE + escape MIS at
+    heavy-BVH scale, the full ajaxenv configuration). The end-to-end
+    heavy-traversal benchmark scene."""
     from .procedural import sphere as proc_sphere
 
     scene = Scene()
@@ -149,6 +151,10 @@ def envmesh_scene(width: int = 256, height: int = 256, max_depth: int = 4,
         horizon=np.array([0.9, 0.85, 0.75], np.float32),
         zenith=np.array([0.25, 0.4, 0.75], np.float32),
     )
+    if probe:
+        from .probe_io import create_test_probe
+
+        scene.sky.probe = create_test_probe(128, 64)
 
     mesh = proc_sphere(radius=0.8, n_theta=detail, n_phi=detail)
     # radial Perlin displacement -> irregular BVH like a scanned bust
