@@ -263,6 +263,48 @@ def test_remat_save_sets_bit_equal():
 
 
 @pytest.mark.slow
+def test_grad_unroll_groups_match_scan():
+    """The unrolled-bounce gradient path (integrator.GRAD_UNROLL /
+    GRAD_UNROLL_GROUP) is a pure performance knob: the forward loss is
+    bit-identical to the lax.scan path (same rematted bounce, same keys —
+    only the loop structure differs), gradients match to f32
+    accumulation-order noise (scan transposes accumulate through a loop
+    carry; the unrolled backward sums in program order — measured max
+    normalized deviation 2.9e-4 on CPU), and all unroll group sizes are
+    bit-identical to each other (same ops, only checkpoint granularity
+    differs)."""
+    import tinsel_tpu.render.integrator as integ
+    from tinsel_tpu.diff.gradients import render_loss_and_grads
+
+    flat, cam, key, target, opts = _setup(w=12, h=12, depth=4)
+
+    def run():
+        loss, grads = render_loss_and_grads(flat, cam, key, target, **opts)
+        return float(loss), [np.asarray(x) for x in jax.tree.leaves(grads)]
+
+    try:
+        integ.GRAD_UNROLL = False
+        base_loss, base_g = run()
+        anchor_g = None
+        for grp in (1, 2, 4):
+            integ.GRAD_UNROLL = True
+            integ.GRAD_UNROLL_GROUP = grp
+            loss, g = run()
+            assert loss == base_loss, grp
+            for a, b in zip(base_g, g):
+                scale = max(float(np.max(np.abs(a))), 1e-12)
+                assert float(np.max(np.abs(a - b))) / scale < 2e-3, grp
+            if anchor_g is None:
+                anchor_g = g
+            else:
+                for a, b in zip(anchor_g, g):
+                    np.testing.assert_array_equal(a, b)
+    finally:
+        integ.GRAD_UNROLL = False
+        integ.GRAD_UNROLL_GROUP = 1
+
+
+@pytest.mark.slow
 def test_grad_scan_accumulation_matches_chunk_mean():
     """render_loss_and_grads_scan (one-dispatch gradient accumulation)
     equals the arithmetic mean of the per-chunk results."""

@@ -389,9 +389,10 @@ def _step(pool, node_offset, block_base, o, d, rd, st):
     )
     has_desc = first_c < K
     adv = live & ~dwell
+    sbits = (K - 1).bit_length()  # slot field width (4 @ K=16, 5 @ K=32)
     stack, sp = _stack_push(
         stack, sp,
-        jax.lax.shift_left(cur, 4) | second_c,
+        jax.lax.shift_left(cur, sbits) | second_c,
         adv & (second_c < K),
     )
     popped, sp = _stack_pop(stack, sp, adv & ~has_desc)
@@ -400,7 +401,7 @@ def _step(pool, node_offset, block_base, o, d, rd, st):
         adv,
         jnp.where(
             has_desc, desc,
-            jnp.where(resumed, jax.lax.shift_right_logical(popped, 4),
+            jnp.where(resumed, jax.lax.shift_right_logical(popped, sbits),
                       jnp.int32(-1)),
         ),
         cur,
@@ -408,7 +409,7 @@ def _step(pool, node_offset, block_base, o, d, rd, st):
     ic = jnp.where(
         adv,
         jnp.where(has_desc, jnp.int32(0),
-                  jnp.where(resumed, popped & 15, jnp.int32(0))),
+                  jnp.where(resumed, popped & ((1 << sbits) - 1), jnp.int32(0))),
         ic,
     )
     # descend -> fresh node (lc 0); pop-resume -> leaves already done
@@ -729,16 +730,17 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax,
         )
         has_desc = first_c < K
         adv = act & ~dwell
+        sbits = (K - 1).bit_length()
         stack, sp = _stack_push(
             stack, sp,
-            jax.lax.shift_left(cur, 4) | second_c,
+            jax.lax.shift_left(cur, sbits) | second_c,
             adv & (second_c < K),
         )
         popped, sp = _stack_pop(stack, sp, adv & ~has_desc)
         resumed = popped >= 0
         nxt = jnp.where(
             has_desc, desc,
-            jnp.where(resumed, jax.lax.shift_right_logical(popped, 4),
+            jnp.where(resumed, jax.lax.shift_right_logical(popped, sbits),
                       jnp.int32(-1)),
         )
         cur = jnp.where(
@@ -749,7 +751,7 @@ def _traverse_tile_any(pool, node_offset, tri_offset, o, d, tmax,
         ic = jnp.where(
             adv,
             jnp.where(has_desc, jnp.int32(0),
-                      jnp.where(resumed, popped & 15, jnp.int32(0))),
+                      jnp.where(resumed, popped & ((1 << sbits) - 1), jnp.int32(0))),
             ic,
         )
         lc = jnp.where(

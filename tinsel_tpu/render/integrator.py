@@ -57,6 +57,20 @@ from jax.ad_checkpoint import checkpoint_name
 # traffic at a loss on this elementwise-traffic-bound backward.
 REMAT_SAVE_NAMES: tuple = ("hit",)
 
+# Gradient-path A/B knobs (module-level like REMAT_SAVE_NAMES; flipped by
+# benchmarks/grad_ab_r6.py and measured on TPU — see path_trace):
+#   SCAN_SPLIT_TRANSPOSE: pass _split_transpose to the bounce scan so XLA
+#     schedules the backward as independent per-iteration transposes.
+#   GRAD_UNROLL: unroll the bounce loop in Python (same rematted bounce,
+#     no lax.scan) — lets XLA fuse each bounce's recompute with its
+#     transpose instead of round-tripping the scan carry through HBM.
+SCAN_SPLIT_TRANSPOSE = False
+GRAD_UNROLL = False
+# Bounces per remat unit when GRAD_UNROLL (1 = per-bounce like the scan;
+# max_depth = one unit: the backward recomputes the whole shading chain
+# once and transposes it fused, at higher live memory).
+GRAD_UNROLL_GROUP = 1
+
 
 def _initial_state(origins, dirs):
     r = origins.shape[0]
@@ -247,7 +261,8 @@ def _make_bounce(scene: SceneFlat, times, key, r, rr_depth: int = 0,
 
 def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
                rr_depth: int = 0, light_sampling: str = "all",
-               dead_bounce_skip: bool = True):
+               dead_bounce_skip: bool = True,
+               grad_unroll: int | None = None):
     """Trace a batch of paths; returns (R, 3) radiance. The differentiable
     backend: `lax.scan` over bounces (reverse-mode needs the static loop
     structure), with a whole-bounce cond skip once every lane is dead so
@@ -260,9 +275,18 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
     Gradient callers (diff/gradients.py) disable the skip; forward
     rendering keeps it (deep scenes profit, nothing differentiates).
 
+    grad_unroll: bounce-loop structure for gradient callers. None = use
+    the module knobs (GRAD_UNROLL/GRAD_UNROLL_GROUP, the A/B surface);
+    0 = lax.scan; n >= 1 = Python-unrolled bounces with a rematted
+    checkpoint every n bounces (see the knob comments above). Values are
+    identical across all settings (loss bit-equal; grads to f32
+    accumulation-order noise, tests/test_gradients.py).
+
     origins/dirs: (R, 3); times: (R,); key: single threefry key (all draws
     derive from it by fold_in, independent across lanes by shape).
     """
+    if grad_unroll is None:
+        grad_unroll = GRAD_UNROLL_GROUP if GRAD_UNROLL else 0
     r = origins.shape[0]
     bounce = _make_bounce(scene, times, key, r, rr_depth, light_sampling)
     state = _initial_state(origins, dirs)
@@ -295,6 +319,7 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
     # changes nothing without a cotangent). The checkpoint must wrap the
     # cond, not sit inside it (the branches would disagree on residual
     # signatures).
+    raw_step = bounce_or_skip
     if REMAT_SAVE_NAMES is not None:  # None = no checkpoint (A/B knob)
         bounce_or_skip = jax.checkpoint(
             bounce_or_skip,
@@ -303,7 +328,33 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
             ),
         )
 
-    state, _ = jax.lax.scan(bounce_or_skip, state, jnp.arange(max_depth))
+    if grad_unroll:
+        g = max(1, grad_unroll)
+        if g == 1:
+            for i in range(max_depth):
+                state, _ = bounce_or_skip(state, i)
+            return state["rad"]
+
+        def group(st, idxs):
+            for j in idxs:
+                st, _ = raw_step(st, j)
+            return st
+
+        if REMAT_SAVE_NAMES is not None:
+            group = jax.checkpoint(
+                group,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    *REMAT_SAVE_NAMES
+                ),
+                static_argnums=(1,),
+            )
+        for i in range(0, max_depth, g):
+            state = group(state, tuple(range(i, min(i + g, max_depth))))
+        return state["rad"]
+    state, _ = jax.lax.scan(
+        bounce_or_skip, state, jnp.arange(max_depth),
+        _split_transpose=SCAN_SPLIT_TRANSPOSE,
+    )
     return state["rad"]
 
 

@@ -112,11 +112,14 @@ def render_pass(
     rr_depth: int = 0,
     light_sampling: str = "all",
     dead_bounce_skip: bool = True,
+    grad_unroll: int | None = None,
 ):
     """One pass of `samples_per_pass` spp -> (H, W, 4) RGBA increment.
 
     dead_bounce_skip=False (gradient callers): see path_trace — the cond
-    is an opaque remat unit under reverse-mode AD."""
+    is an opaque remat unit under reverse-mode AD. grad_unroll: bounce
+    loop structure (None = integrator module knobs; 0 = scan; n >= 1 =
+    unrolled, checkpoint every n bounces)."""
     s = samples_per_pass
     rx, ry, times = _sample_grid(width, height, cam, key, s, sampler)
     raster = jnp.stack([rx, ry], axis=-1).reshape(-1, 2)
@@ -147,6 +150,7 @@ def render_pass(
             scene, origins, dirs, times_flat, max_depth,
             jax.random.fold_in(key, 2), rr_depth=rr_depth,
             light_sampling=light_sampling, dead_bounce_skip=dead_bounce_skip,
+            grad_unroll=grad_unroll,
         )
     if math.isfinite(clamp):
         radiance = clamp_length(radiance, clamp)
