@@ -477,6 +477,48 @@ DEFAULT_STACK_SLOTS = 48  # conservative fallback when the caller does not
 # refuses trees needing more, so the fallback is always safe)
 
 
+def _permute_many(perm, cols):
+    """Permute many (R,) arrays by ONE row gather over a stacked (R, C)
+    f32 matrix. Measured (r4 profiler timeline): a scalar (R,) permute
+    costs a full gather dispatch (~0.5 ms at 65k lanes — per-lane gather
+    cost is FLAT in row width from 1 to ~96 cols), and the r3 compaction
+    did ~13 of them, costing as much as all of phase 1. Stacking makes it
+    one gather; the stack/unstack are dense stream ops XLA fuses."""
+    f32 = [
+        c if c.dtype == jnp.float32
+        else jax.lax.bitcast_convert_type(c, jnp.float32)
+        for c in cols
+    ]
+    m = jnp.stack(f32, axis=-1)[perm]
+    out = []
+    for i, c in enumerate(cols):
+        v = m[:, i]
+        if c.dtype != jnp.float32:
+            v = jax.lax.bitcast_convert_type(v, c.dtype)
+        out.append(v)
+    return out
+
+
+def _unpermute_many(perm, cols):
+    """Invert a permutation on many (R,) arrays with ONE row scatter of
+    the stacked matrix (replaces the r3 inverse-argsort + per-array takes
+    — an extra SORT plus one gather per array)."""
+    f32 = [
+        c if c.dtype == jnp.float32
+        else jax.lax.bitcast_convert_type(c, jnp.float32)
+        for c in cols
+    ]
+    m = jnp.stack(f32, axis=-1)
+    inv = jnp.zeros_like(m).at[perm].set(m)
+    out = []
+    for i, c in enumerate(cols):
+        v = inv[:, i]
+        if c.dtype != jnp.float32:
+            v = jax.lax.bitcast_convert_type(v, c.dtype)
+        out.append(v)
+    return out
+
+
 def _init_state(r, tmax, stack_slots, with_steps=False):
     st = dict(
         cur=jnp.zeros((r,), jnp.int32),
@@ -582,7 +624,10 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
 
     # capped phases, each followed by a stable compaction of unfinished
     # rays to the front and a restart from the root with the tightened
-    # best_t; the final phase runs uncapped
+    # best_t; the final phase runs uncapped. All compaction data movement
+    # is ONE stacked row gather per phase + ONE row scatter at the end
+    # (the r3 per-array permutes + inverse argsort cost ~6 ms of the
+    # 15 ms bigmesh pipeline — as much as phase 1 itself).
     caps = [PHASE1_CAP]
     if PHASE2_CAP is not None:
         caps.append(PHASE2_CAP)
@@ -594,24 +639,32 @@ def _run_tiled(pool, node_offset, tri_offset, origins, dirs, tmax, tile,
         st1 = _map_tiles(pool, no, to, o, d, st, tile, cap_i, with_steps)
         finished = (st1["cur"] < 0) & (st1["pend"] < 0)
         perm = jnp.argsort(finished.astype(jnp.int8), stable=True)
-        total_perm = total_perm[perm]
-        o = tuple(c[perm] for c in o)
-        d = tuple(c[perm] for c in d)
-        no = no[perm]
-        to = to[perm]
         if PHASE_RESTART:
-            st = _init_state(r, st1["best_t"][perm], stack_slots, with_steps)
-            st["cur"] = jnp.where(
-                finished[perm], jnp.int32(-1), jnp.int32(0)
-            )
-            st["best_tri"] = st1["best_tri"][perm]
+            cols = list(o) + list(d) + [
+                no, to, total_perm.astype(jnp.int32),
+                st1["best_t"], st1["best_tri"],
+                finished.astype(jnp.float32),
+            ] + ([st1["steps"]] if with_steps else [])
+            pc = _permute_many(perm, cols)
+            o, d = tuple(pc[0:3]), tuple(pc[3:6])
+            no, to, total_perm = pc[6], pc[7], pc[8]
+            bt_p, tri_p, fin_p = pc[9], pc[10], pc[11]
+            st = _init_state(r, bt_p, stack_slots, with_steps)
+            st["cur"] = jnp.where(fin_p > 0.5, jnp.int32(-1), jnp.int32(0))
+            st["best_tri"] = tri_p
             if with_steps:
-                st["steps"] = st1["steps"][perm]
+                st["steps"] = pc[12]
         else:
+            total_perm = total_perm[perm]
+            o = tuple(c[perm] for c in o)
+            d = tuple(c[perm] for c in d)
+            no = no[perm]
+            to = to[perm]
             st = jax.tree_util.tree_map(lambda x: x[perm], st1)
     out = _map_tiles(pool, no, to, o, d, st, tile, None, with_steps)
-    inv = jnp.argsort(total_perm)
-    return tuple(jnp.take(x, inv) for x in results(out))
+    return tuple(
+        _unpermute_many(total_perm.astype(jnp.int32), list(results(out)))
+    )
 
 
 def _refit_hit(pool: MeshPool, tri_offset, origins, dirs, best_tri, best_t):
