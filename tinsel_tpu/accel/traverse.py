@@ -63,6 +63,20 @@ cap 16). Swept-and-rejected on TPU this round: K=4/8 (1.36/2.41), tiles
 -2.7 — wider block rows cost more than the halved dwell steps save),
 and the K-1-push value stack (0.61 at K=16).
 
+Swept-and-rejected r4 (on top of stacked-permute compaction, 6.3
+Mrays/s): a (R, S) stack MATRIX carry with broadcast one-hot push/pop
+instead of the tuple-of-(R,) slots (median 6.10 vs 6.30 over 5
+interleaved runs — the one-hot iota compare costs more than the while
+carry copies it removes); multi-phase cap schedules with early-exit
+while tiles for the later phases (PHASE_CAPS (8,24): 5.21, (8,16,48):
+4.97 vs two-phase 6.1-6.3 — each extra compaction+restart re-walks the
+root for every live ray and the idle-tile exit does not pay for it);
+distance-ordered descent (benchmarks/r7_order_sim.py: mean steps 5.41
+static vs 5.40 tn-ordered at K=16 — at 16-wide fanout the shallow tree
+leaves nothing for ordering to prune, unlike the reference's binary
+tree); packet traversal (r7_packet_sim.py: union-step inflation 3.4x at
+G=8 beats the 2.4x gather-amortization win at every G).
+
 Mosaic/Pallas has no large-table per-lane dynamic gather (indices must
 match the table shape), so this stays pure JAX by design — measured and
 re-confirmed in round 1.
