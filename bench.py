@@ -211,15 +211,23 @@ def main():
     bigmesh_sol_mrays = hbm_gbps * 1e9 / _BIGMESH_BYTES_PER_RAY / 1e6
     fwd_sol_rays = hbm_gbps * 1e9 / _FWD_BYTES_PER_RAY
     # the MEASURED limiter for traversal is not HBM bandwidth but the
-    # per-lane issue rate of dependent in-loop gathers (~8.5 ns/lane/step,
-    # r5_gather_shape.py/r5_periter_decomp.py, flat in row width); with
-    # the k=16 tree's measured 5.5 mean steps/ray the issue-rate roofline
-    # is the honest ceiling for THIS machine's lockstep walk
-    _GATHER_NS_PER_LANE_STEP = 8.5
-    _MEAN_STEPS_PER_RAY = 5.5  # k=16 524k-tri bench (step_stats_stack_kary)
-    bigmesh_issue_sol_mrays = 1e3 / (
-        _GATHER_NS_PER_LANE_STEP * _MEAN_STEPS_PER_RAY
-    )
+    # per-lane issue rate of the dependent in-loop gather step. Both
+    # roofline inputs are RE-MEASURED each run (r3 VERDICT #4 — the old
+    # hardcoded 8.5 ns x 5.5 steps drifted as the tree changed):
+    # steps/ray from traversal_cost on the exact bench workload, and
+    # ns/lane/step from a chained capped-walk slope of the SHIPPED _step
+    # (method: benchmarks/r7_stepcost.py).
+    if not degraded:
+        step_stats = _bigmesh_step_stats()
+        bigmesh_issue_sol_mrays = 1e3 / (
+            step_stats["step_ns_per_lane"] * step_stats["steps_mean"]
+        )
+    else:
+        step_stats = dict(
+            steps_mean=0.0, steps_p99=0.0, steps_max=0.0,
+            tile_max_mean=0.0, step_ns_per_lane=0.0,
+        )
+        bigmesh_issue_sol_mrays = float("inf")
 
     platform = jax.devices()[0].platform
     if degraded:
@@ -247,10 +255,17 @@ def main():
                 ) if bigmesh_mrays else 0.0,
                 "bigmesh_issue_sol_mrays_per_sec": round(
                     bigmesh_issue_sol_mrays, 1
-                ),
+                ) if bigmesh_mrays else None,
                 "bigmesh_issue_sol_fraction": round(
                     bigmesh_mrays / bigmesh_issue_sol_mrays, 4
                 ) if bigmesh_mrays else 0.0,
+                "bigmesh_steps_per_ray_mean": step_stats["steps_mean"],
+                "bigmesh_steps_per_ray_p99": step_stats["steps_p99"],
+                "bigmesh_steps_per_ray_max": step_stats["steps_max"],
+                "bigmesh_steps_per_tile_max_mean": step_stats[
+                    "tile_max_mean"
+                ],
+                "bigmesh_step_ns_per_lane": step_stats["step_ns_per_lane"],
                 "fwd_sol_rays_per_sec": round(fwd_sol_rays),
                 "fwd_sol_fraction": round(fwd_rays_per_sec / fwd_sol_rays, 4),
                 "dispatch_ms": round(dispatch_ms, 1),
@@ -306,10 +321,13 @@ def _measure_hbm_bw():
     return 3 * n * 4 * k / dt / 1e9
 
 
-def _bigmesh_metric():
+def _bigmesh_workload():
+    """The canonical 524k-tri closest-hit workload: (flat, handle,
+    origins, dirs, tmax) — shared by the throughput metric and the
+    measured-roofline step-stats pass so both see the identical tree and
+    rays."""
     from tinsel_tpu.scene.procedural import sphere
     from tinsel_tpu.scene.model import Scene, Primitive, Material, MESH
-    import tinsel_tpu.accel.traverse as trav
 
     m = sphere(radius=1.0, n_theta=512, n_phi=512)
     m.build()
@@ -326,6 +344,90 @@ def _bigmesh_metric():
     )
     dirs = jnp.tile(jnp.array([[1e-5, 1e-5, 1.0]], jnp.float32), (r, 1))
     tmax = jnp.full((r,), jnp.inf, jnp.float32)
+    return flat, h, origins, dirs, tmax
+
+
+def _bigmesh_step_stats():
+    """Measured roofline inputs, fresh each run: steps/ray statistics of
+    the shipped walk on the exact bench workload (traversal_cost), and
+    the marginal cost of ONE shipped _step in ns/lane (slope between two
+    step CAPS of chained capped walks — two nested slopes so neither the
+    per-dispatch tunnel floor nor the per-walk setup leaks in; method
+    validated in benchmarks/r7_stepcost.py)."""
+    import tinsel_tpu.accel.traverse as trav
+    from tinsel_tpu.accel import build as _b
+
+    flat, h, origins, dirs, tmax = _bigmesh_workload()
+    pool = flat.pool
+
+    steps = np.asarray(
+        trav.traversal_cost(
+            pool, h.node_offset, h.tri_offset, origins, dirs, tmax,
+            stack_slots=h.stack_slots,
+        )
+    )
+    tile_max = steps.reshape(-1, trav.TILE).max(axis=1)
+
+    tile = trav.TILE
+    o1, d1, t1 = origins[:tile], dirs[:tile], tmax[:tile]
+    block_base = h.tri_offset // _b.BLOCK_SIZE
+
+    def make_chain(n, cap):
+        @jax.jit
+        def run(pool, o, d, t):
+            o3 = tuple(o[:, i] for i in range(3))
+            d3 = tuple(d[:, i] for i in range(3))
+            rd = trav._safe_rcp3(d3)
+
+            def one_walk(w, acc):
+                st = trav._init_state(tile, t + 0.0 * acc, h.stack_slots)
+
+                def body(i, s):
+                    return trav._step(
+                        pool, h.node_offset, block_base, o3, d3, rd, s
+                    )
+
+                out = jax.lax.fori_loop(0, cap, body, st)
+                return acc + out["best_t"] * 0.0 + out["cur"].astype(
+                    jnp.float32
+                ) * 1e-9
+
+            return jax.lax.fori_loop(
+                0, n, one_walk, jnp.zeros((tile,), jnp.float32)
+            )
+        return run
+
+    def med_time(fn, reps=5):
+        out = fn(pool, o1, d1, t1)
+        np.asarray(out.ravel()[:1])
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(pool, o1, d1, t1)
+            np.asarray(out.ravel()[:1])
+            samples.append(time.perf_counter() - t0)
+        return sorted(samples)[len(samples) // 2]
+
+    per_walk = {}
+    for cap in (8, 32):
+        t_lo = med_time(make_chain(8, cap))
+        t_hi = med_time(make_chain(40, cap))
+        per_walk[cap] = (t_hi - t_lo) / 32
+    per_step = (per_walk[32] - per_walk[8]) / 24
+
+    return dict(
+        steps_mean=round(float(steps.mean()), 2),
+        steps_p99=round(float(np.percentile(steps, 99)), 1),
+        steps_max=round(float(steps.max()), 0),
+        tile_max_mean=round(float(tile_max.mean()), 1),
+        step_ns_per_lane=round(per_step * 1e9 / tile, 2),
+    )
+
+
+def _bigmesh_metric():
+    import tinsel_tpu.accel.traverse as trav
+
+    flat, h, origins, dirs, tmax = _bigmesh_workload()
 
     # slope between two in-jit chain lengths: per-dispatch tunnel overhead
     # (14-28 ms, session-dependent) cancels — see module docstring
@@ -353,7 +455,7 @@ def _bigmesh_metric():
             samples.append(time.perf_counter() - t0)
         ts[n] = sorted(samples)[1]
     per = (ts[4] - ts[1]) / 3
-    return round(r / per / 1e6, 3)
+    return round(origins.shape[0] / per / 1e6, 3)
 
 
 if __name__ == "__main__":
