@@ -88,7 +88,13 @@ def path_trace_pipelined(scene: SceneFlat, origins, dirs, times,
                 lambda a, b: jnp.where(inject, a, b), fresh, st
             )
             t_m = slice_micro(times, m)
-            bounce = _make_bounce(scene, t_m, key, micro)
+            # decorrelate microbatches: without the fold, lane j of EVERY
+            # microbatch would draw the identical per-bounce stream (the
+            # estimate stays unbiased but samples are structurally
+            # correlated). n_micro=1 keeps the raw key so the result is
+            # bit-comparable with the scan backend.
+            key_m = jax.random.fold_in(key, m) if n_micro > 1 else key
+            bounce = _make_bounce(scene, t_m, key_m, micro)
             new_st = bounce(st, stage)
             st = jax.tree.map(
                 lambda a, b: jnp.where(valid, a, b), new_st, st
