@@ -21,6 +21,7 @@ SCENES_DIR = os.path.join(os.path.dirname(__file__), "..", "scenes")
 CASES = [
     "simple", "cornell", "gloss", "transmission",
     "veach", "meshlight", "motionblur", "env", "bump", "dof",
+    "veach_mis.json",
 ]
 
 
@@ -30,7 +31,13 @@ def _render(name):
     from tinsel_tpu.scene.loaders.tin import load_tin
     from tinsel_tpu.render.renderer import render
 
-    scene = load_tin(os.path.join(SCENES_DIR, name + ".tin"))
+    if name.endswith(".json"):
+        from tinsel_tpu.scene.loaders.tungsten import load_tungsten
+
+        scene = load_tungsten(os.path.join(SCENES_DIR, name))
+        name = name[:-5]
+    else:
+        scene = load_tin(os.path.join(SCENES_DIR, name + ".tin"))
     opts = dataclasses.replace(
         scene.options, width=32, height=32,
         max_depth=min(scene.options.max_depth, 4),
@@ -42,7 +49,7 @@ def _render(name):
 @pytest.mark.parametrize("name", CASES)
 def test_golden(name):
     img = _render(name)
-    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    path = os.path.join(GOLDEN_DIR, f"{name.removesuffix('.json')}.npz")
     if os.environ.get("REGEN_GOLDENS") or not os.path.exists(path):
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         np.savez_compressed(path, img=img.astype(np.float32))

@@ -108,6 +108,62 @@ def test_tungsten_sample_scene():
     assert np.isfinite(acc).all() and acc[..., :3].max() > 1e-4
 
 
+def test_tungsten_veach_mis_scene():
+    """VERDICT r3 #7: a real Bitterli-structure scene through the Tungsten
+    loader — exercises the bsdf heuristic table (tungsten.cpp:121-186
+    analog) on its actual input distribution: named bsdf references,
+    rough_conductor with per-plate roughness, the RoughSteel name
+    heuristic, null-bsdf sphere emitters, mesh-file primitives with cache
+    + recompute_normals, infinite_sphere, and a non-square camera with
+    aspect-scaled fov."""
+    from tinsel_tpu.scene.loaders.tungsten import load_tungsten
+
+    scene = load_tungsten(os.path.join(SCENES_DIR, "veach_mis.json"))
+    prims = scene.primitives
+    # 2 quads + 4 plate meshes + knob mesh + 4 sphere emitters
+    # (infinite_sphere becomes sky, not a primitive)
+    assert len(prims) == 11
+    assert sum(1 for p in prims if p.light_samples) == 4
+    # mesh cache: the four plates share ONE Mesh object
+    plate_meshes = {id(prims[2 + k].mesh) for k in range(4)}
+    assert len(plate_meshes) == 1
+    # rough_conductor heuristic: metallic 1, roughness preserved
+    rough = [prims[2 + k].material.roughness for k in range(4)]
+    assert rough == [0.005, 0.02, 0.05, 0.1]
+    assert all(prims[2 + k].material.metallic == 1.0 for k in range(4))
+    # RoughSteel name heuristic overrides albedo (tungsten.cpp:133-138)
+    knob = prims[6].material
+    assert np.allclose(knob.color, 0.05) and knob.specular == 1.0
+    # null bsdf: black base, emission applied per-primitive
+    light = prims[7].material
+    assert np.allclose(light.color, 0.0)
+    assert float(light.emission.max()) > 1.0
+    # log-spaced radii, power-matched emissions
+    radii = [prims[7 + k].radius for k in range(4)]
+    assert radii == [0.9, 0.3, 0.1, 0.0333]
+    # infinite_sphere -> constant sky
+    assert np.allclose(scene.sky.horizon, [0.05, 0.05, 0.07])
+    # non-square camera: fov scaled by aspect (720/1280)
+    assert abs(scene.camera.fov - np.deg2rad(48) * 720 / 1280) < 1e-6
+    assert (scene.options.width, scene.options.height) == (1280, 720)
+    assert scene.options.max_depth == 6
+
+    import dataclasses
+
+    from tinsel_tpu.render.renderer import render
+
+    opts = dataclasses.replace(
+        scene.options, width=64, height=36, max_depth=3
+    )
+    acc = np.asarray(render(scene, spp=24, options=opts, seed=1))
+    img = acc[..., :3] / np.maximum(acc[..., 3:4], 1e-7)
+    assert np.isfinite(img).all()
+    # lights visible at top, plate reflections bright against the dim floor
+    top = img[:8].max()
+    assert top > 0.5, top  # emitter row in frame
+    assert float(np.percentile(img, 99)) > 5 * float(img.mean())  # streaks
+
+
 @pytest.mark.slow
 def test_many_mesh_scene_compiles_and_renders():
     """Sportscar-class scaling: 48 distinct meshes + materials must
