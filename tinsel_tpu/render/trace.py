@@ -122,14 +122,20 @@ def _mesh_partition(scene: SceneFlat):
     return tiny_groups, big, others
 
 
-def _instance_box_mask(handles, o_l, d_l, tmax_b):
+INSTANCE_TOPK = 4  # candidate instances traversed per shortlist round
+INSTANCE_TOPK_MIN = 12  # shortlist rounds engage above this instance count
+# (below it the plain (I*R) batch is cheaper than the round machinery)
+
+
+def _instance_box_entry(handles, o_l, d_l, tmax_b):
     """Top-level cull: per-instance local-space root-AABB slab test.
     handles: list of MeshHandle (static root bounds, one per instance);
-    o_l/d_l: (I, R, 3) instance-local rays. Returns (I, R) bool 'may hit'.
-    Rays failing it get tmax 0 in that instance's traversal copy — a
-    one-step exit, so camera-coherent tiles skip whole instances. This is
-    the TPU form of the reference's top-level scene BVH over primitives
-    (intersection.h:751-799) for the instanced case."""
+    o_l/d_l: (I, R, 3) instance-local rays. Returns ((I, R) bool 'may
+    hit', (I, R) f32 entry distance tn, +inf where missed). Rays failing
+    the test get tmax 0 in that instance's traversal copy — a one-step
+    exit, so camera-coherent tiles skip whole instances; the entry
+    distance orders the shortlist rounds (the TPU form of the reference's
+    near-child-first top-level scene BVH, intersection.h:751-799)."""
     import numpy as _np
 
     lo = jnp.asarray(
@@ -148,7 +154,111 @@ def _instance_box_mask(handles, o_l, d_l, tmax_b):
     tn = jnp.minimum(t0, t1).max(axis=-1)
     tf = jnp.maximum(t0, t1).min(axis=-1)
     tn = jnp.maximum(tn, 0.0)
-    return (tn <= tf) & (tn < tmax_b)
+    may = (tn <= tf) & (tn < tmax_b)
+    return may, jnp.where(may, tn, INF)
+
+
+def _instance_box_mask(handles, o_l, d_l, tmax_b):
+    return _instance_box_entry(handles, o_l, d_l, tmax_b)[0]
+
+
+def _shortlist_candidates(work, k):
+    """Pick the k nearest-entry instances per ray from the (I, R) tn
+    table `work` (visited/missed entries +inf). Returns ((k, R) i32
+    instance ids, (k, R) f32 their tn, updated work with picks +inf)."""
+    ids, tns = [], []
+    for _ in range(k):
+        j = jnp.argmin(work, axis=0).astype(jnp.int32)  # (R,)
+        tns.append(jnp.take_along_axis(work, j[None, :], axis=0)[0])
+        ids.append(j)
+        work = jnp.where(
+            jnp.arange(work.shape[0], dtype=jnp.int32)[:, None] == j[None, :],
+            INF, work,
+        )
+    return jnp.stack(ids), jnp.stack(tns), work
+
+
+def _instance_rounds(scene, o_l, d_l, tn, best_t0, noff_t, toff_t,
+                     stack_slots):
+    """tn-ordered top-k instance traversal rounds (closest hit). All
+    inputs stop-gradient (the discrete search; the caller re-fits
+    differentiably). o_l/d_l: (I, R, 3) local rays; tn: (I, R) box entry
+    distances (+inf = culled). Returns (t (R,), tri (R,), inst (R,))."""
+    k = INSTANCE_TOPK
+    r = o_l.shape[1]
+    noff_d = jnp.asarray(noff_t)
+    toff_d = jnp.asarray(toff_t)
+    cand = jnp.arange(k, dtype=jnp.int32)[:, None]
+
+    def cond(c):
+        work, t_b, tri_b, inst_b = c
+        return jnp.any(work.min(axis=0) < t_b)
+
+    def body(c):
+        work, t_b, tri_b, inst_b = c
+        ids, tns, work2 = _shortlist_candidates(work, k)
+        o_c = jnp.take_along_axis(o_l, ids[:, :, None], axis=0)
+        d_c = jnp.take_along_axis(d_l, ids[:, :, None], axis=0)
+        tm_c = jnp.where(tns < t_b[None, :], t_b[None, :], 0.0)
+        t_f, tri_f, *_ = intersect_mesh(
+            scene.pool, noff_d[ids].reshape(-1), toff_d[ids].reshape(-1),
+            o_c.reshape(k * r, 3), d_c.reshape(k * r, 3),
+            tm_c.reshape(-1), stack_slots=stack_slots,
+        )
+        t_i = t_f.reshape(k, r)
+        tri_i = tri_f.reshape(k, r)
+        t_min = t_i.min(axis=0)
+        closer = jnp.isfinite(t_min) & (t_min < t_b)
+        ci = jnp.where(t_i == t_min[None, :], cand, jnp.int32(k))
+        ci = jnp.minimum(ci.min(axis=0), k - 1)
+        oh_k = cand == ci[None, :]
+        inst_w = jnp.where(oh_k, ids, 0).sum(axis=0)
+        tri_w = jnp.where(oh_k, tri_i, 0).sum(axis=0)
+        return (
+            work2,
+            jnp.where(closer, t_min, t_b),
+            jnp.where(closer, tri_w, tri_b),
+            jnp.where(closer, inst_w, inst_b),
+        )
+
+    init = (
+        tn, jnp.asarray(best_t0, jnp.float32),
+        jnp.full((r,), -1, jnp.int32), jnp.zeros((r,), jnp.int32),
+    )
+    _, t_b, tri_b, inst_b = jax.lax.while_loop(cond, body, init)
+    return t_b, tri_b, inst_b
+
+
+def _instance_rounds_any(scene, o_l, d_l, tn, tmax, occ0, noff_t, toff_t,
+                         stack_slots):
+    """tn-ordered top-k instance rounds, occlusion form. tmax: (R,) f32
+    (0 where already occluded). Returns (R,) bool occluded."""
+    k = INSTANCE_TOPK
+    r = o_l.shape[1]
+    noff_d = jnp.asarray(noff_t)
+    toff_d = jnp.asarray(toff_t)
+
+    def cond(c):
+        work, occ = c
+        return jnp.any(~occ & (work.min(axis=0) < tmax))
+
+    def body(c):
+        work, occ = c
+        ids, tns, work2 = _shortlist_candidates(work, k)
+        o_c = jnp.take_along_axis(o_l, ids[:, :, None], axis=0)
+        d_c = jnp.take_along_axis(d_l, ids[:, :, None], axis=0)
+        tm_c = jnp.where(
+            ~occ[None, :] & (tns < tmax[None, :]), tmax[None, :], 0.0
+        )
+        oc = intersect_mesh_any(
+            scene.pool, noff_d[ids].reshape(-1), toff_d[ids].reshape(-1),
+            o_c.reshape(k * r, 3), d_c.reshape(k * r, 3),
+            tm_c.reshape(-1), stack_slots=stack_slots,
+        )
+        return work2, occ | oc.reshape(k, r).any(axis=0)
+
+    _, occ = jax.lax.while_loop(cond, body, (tn, occ0))
+    return occ
 
 
 def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
@@ -228,48 +338,72 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
         # re-evaluate the intersection differentiably at the found triangle
         # so gradients flow to vertices/transforms/ray params.
         tmax_b = jnp.broadcast_to(best_t[None, :], (n_inst, r))
-        may_hit = _instance_box_mask(handles, o_l, d_l, tmax_b)
+        may_hit, tn = _instance_box_entry(handles, o_l, d_l, tmax_b)
         tmax_i = jnp.where(may_hit, tmax_b, 0.0)
         noff_t = _np.asarray([h.node_offset for h in handles], _np.int32)
         toff_t = _np.asarray([h.tri_offset for h in handles], _np.int32)
-        if is_tiny:
-            # one shared segment: static scalar offsets keep the brute
-            # sweep's static slice
-            noff_b, toff_b = handles[0].node_offset, handles[0].tri_offset
-        else:
-            noff_b = jnp.broadcast_to(
-                jnp.asarray(noff_t)[:, None], (n_inst, r)
-            ).reshape(-1)
-            toff_b = jnp.broadcast_to(
-                jnp.asarray(toff_t)[:, None], (n_inst, r)
-            ).reshape(-1)
-        # NOTE measured-and-rejected: argsort-compacting the culled
-        # (instance, ray) pairs before tiling (1.23 vs 1.45 spp/s on the
-        # 16-instance scene — two 1M-lane argsorts + permutes cost more
-        # than the dead tiles they remove), and growing tiles to bound the
-        # serial tile count (0.38 spp/s — per-lane cost rises with tile
-        # size). The plain batched call with the root-box cull stands.
-        t_f, tri_f, *_ = intersect_mesh(
-            sg(scene.pool), noff_b, toff_b,
-            sg(o_l.reshape(n_inst * r, 3)), sg(d_l.reshape(n_inst * r, 3)),
-            sg(tmax_i.reshape(n_inst * r)),
-            num_tris=(handles[0].real_tris or handles[0].num_tris)
-            if is_tiny else None,
-            stack_slots=max(h.stack_slots for h in handles),
-        )
-        # local t equals world t: the transform maps the ray's parameter
-        # linearly (uniform scale folded into |d_l|), so best_t is a valid
-        # truncation bound across primitives and instances.
-        t_i = t_f.reshape(n_inst, r)
-        tri_i = tri_f.reshape(n_inst, r)
-
-        t_min = t_i.min(axis=0)
-        hit = jnp.isfinite(t_min) & (t_min < best_t)
+        ss_b = max(h.stack_slots for h in handles)
         inst_ids = jnp.arange(n_inst, dtype=jnp.int32)[:, None]
-        inst = jnp.where(t_i == t_min[None, :], inst_ids, jnp.int32(n_inst))
-        inst = jnp.minimum(inst.min(axis=0), n_inst - 1)
+        if is_tiny or n_inst <= INSTANCE_TOPK_MIN:
+            if is_tiny:
+                # one shared segment: static scalar offsets keep the brute
+                # sweep's static slice
+                noff_b, toff_b = handles[0].node_offset, handles[0].tri_offset
+            else:
+                noff_b = jnp.broadcast_to(
+                    jnp.asarray(noff_t)[:, None], (n_inst, r)
+                ).reshape(-1)
+                toff_b = jnp.broadcast_to(
+                    jnp.asarray(toff_t)[:, None], (n_inst, r)
+                ).reshape(-1)
+            # NOTE measured-and-rejected: argsort-compacting the culled
+            # (instance, ray) pairs before tiling (1.23 vs 1.45 spp/s on
+            # the 16-instance scene — two 1M-lane argsorts + permutes cost
+            # more than the dead tiles they remove), and growing tiles to
+            # bound the serial tile count (0.38 spp/s — per-lane cost
+            # rises with tile size). The plain batched call with the
+            # root-box cull stands at low instance counts.
+            t_f, tri_f, *_ = intersect_mesh(
+                sg(scene.pool), noff_b, toff_b,
+                sg(o_l.reshape(n_inst * r, 3)),
+                sg(d_l.reshape(n_inst * r, 3)),
+                sg(tmax_i.reshape(n_inst * r)),
+                num_tris=(handles[0].real_tris or handles[0].num_tris)
+                if is_tiny else None,
+                stack_slots=ss_b,
+            )
+            # local t equals world t: the transform maps the ray's
+            # parameter linearly (uniform scale folded into |d_l|), so
+            # best_t is a valid truncation bound across primitives and
+            # instances.
+            t_i = t_f.reshape(n_inst, r)
+            tri_i = tri_f.reshape(n_inst, r)
+
+            t_min = t_i.min(axis=0)
+            inst = jnp.where(
+                t_i == t_min[None, :], inst_ids, jnp.int32(n_inst)
+            )
+            inst = jnp.minimum(inst.min(axis=0), n_inst - 1)
+            tri = jnp.where(
+                inst_ids == inst[None, :], tri_i, jnp.int32(-1)
+            ).max(axis=0)
+        else:
+            # Instance-scalable top level (VERDICT r3 #5): instead of an
+            # (I*R) lane batch — linear in instance count — traverse the
+            # k NEAREST-ENTRY instances per ray per round, repeating while
+            # any lane's next unvisited box entry still beats its best
+            # hit. Correct by construction: an excluded instance can only
+            # contain the winner if its entry tn < best_t, and exactly
+            # those lanes keep the loop alive; typical grids resolve in
+            # one round, so the traversal lane count is k*R, not I*R
+            # (the reference's scene-BVH near-first descent,
+            # intersection.h:751-799, in batch form).
+            t_min, tri, inst = _instance_rounds(
+                scene, sg(o_l), sg(d_l), tn, sg(best_t), noff_t, toff_t,
+                ss_b,
+            )
+        hit = jnp.isfinite(t_min) & (t_min < best_t)
         onehot = (inst_ids == inst[None, :]).astype(jnp.float32)  # (I, R)
-        tri = jnp.where(onehot > 0, tri_i, jnp.int32(-1)).max(axis=0)
 
         # winning instance's local ray + rotation (differentiable selects)
         ow = (onehot[..., None] * o_l).sum(axis=0)
@@ -360,30 +494,38 @@ def trace_any(scene: SceneFlat, origins, dirs, times, tmax) -> jax.Array:
         tmax_b = jnp.broadcast_to(
             jnp.where(occ, 0.0, tmax)[None, :], (n_inst, r)
         )
-        may_hit = _instance_box_mask(handles, o_l, d_l, tmax_b)
+        may_hit, tn = _instance_box_entry(handles, o_l, d_l, tmax_b)
         tm = jnp.where(may_hit, tmax_b, 0.0).reshape(n_inst * r)
-        if is_tiny:
-            noff_b, toff_b = handles[0].node_offset, handles[0].tri_offset
+        noff_t = _np.asarray([h.node_offset for h in handles], _np.int32)
+        toff_t = _np.asarray([h.tri_offset for h in handles], _np.int32)
+        ss_b = max(h.stack_slots for h in handles)
+        if is_tiny or n_inst <= INSTANCE_TOPK_MIN:
+            if is_tiny:
+                noff_b, toff_b = handles[0].node_offset, handles[0].tri_offset
+            else:
+                noff_b = jnp.broadcast_to(
+                    jnp.asarray(noff_t)[:, None], (n_inst, r)
+                ).reshape(-1)
+                toff_b = jnp.broadcast_to(
+                    jnp.asarray(toff_t)[:, None], (n_inst, r)
+                ).reshape(-1)
+            oc = intersect_mesh_any(
+                sg(scene.pool), noff_b, toff_b,
+                sg(o_l.reshape(n_inst * r, 3)),
+                sg(d_l.reshape(n_inst * r, 3)), sg(tm),
+                num_tris=(handles[0].real_tris or handles[0].num_tris)
+                if is_tiny else None,
+                stack_slots=ss_b,
+            )
+            occ = occ | oc.reshape(n_inst, r).any(axis=0)
         else:
-            noff_b = jnp.broadcast_to(
-                jnp.asarray(
-                    _np.asarray([h.node_offset for h in handles], _np.int32)
-                )[:, None],
-                (n_inst, r),
-            ).reshape(-1)
-            toff_b = jnp.broadcast_to(
-                jnp.asarray(
-                    _np.asarray([h.tri_offset for h in handles], _np.int32)
-                )[:, None],
-                (n_inst, r),
-            ).reshape(-1)
-        oc = intersect_mesh_any(
-            sg(scene.pool), noff_b, toff_b, sg(o_l.reshape(n_inst * r, 3)),
-            sg(d_l.reshape(n_inst * r, 3)), sg(tm),
-            num_tris=(handles[0].real_tris or handles[0].num_tris)
-            if is_tiny else None,
-            stack_slots=max(h.stack_slots for h in handles),
-        )
-        occ = occ | oc.reshape(n_inst, r).any(axis=0)
+            # shortlist rounds, occlusion form: unlike closest-hit the
+            # rounds can stop at the FIRST occluder (tn order is only a
+            # heuristic here); lanes stay live while unvisited boxes
+            # intersect the unoccluded segment
+            occ = _instance_rounds_any(
+                scene, sg(o_l), sg(d_l), tn, sg(jnp.where(occ, 0.0, tmax)),
+                occ, noff_t, toff_t, ss_b,
+            )
     # saved under the integrator's remat policy (see trace_closest)
     return checkpoint_name(occ, "hit")
