@@ -297,28 +297,40 @@ _FWD_BYTES_PER_RAY = 2 * 32 * 4
 
 def _measure_hbm_bw():
     """Effective streaming HBM bandwidth from an in-jit repeated saxpy
-    (2 reads + 1 write per element per iteration), synced by transferring
-    one element — block_until_ready returns early on this runtime."""
-    n = 16 * 1024 * 1024  # 64 MB per array
-    k = 8
+    (2 reads + 1 write per element per iteration), measured BY SLOPE
+    between two in-jit iteration counts like every other number here.
+    The r1-r3 version timed a single small dispatch (64 MB x 8 iters
+    ~ 2 ms of real work under a 14-31 ms tunnel dispatch) and reported
+    127-156 GB/s; the slope on a VMEM-exceeding working set measures
+    ~713 GB/s on the same chip (benchmarks/r9_vpu_ceiling.py) — the r4
+    SoL fractions changed accordingly, the machine did not."""
+    n = 32 * 1024 * 1024  # 128 MB per array (working set > VMEM)
     a = jnp.ones((n,), jnp.float32)
     b = jnp.ones((n,), jnp.float32)
 
-    @jax.jit
-    def run(a, b):
-        def body(i, y):
-            return y * 0.999999 + b
+    def make(k):
+        @jax.jit
+        def run(a, b):
+            def body(i, y):
+                return y * 0.999999 + b
 
-        return jax.lax.fori_loop(0, k, body, a)
+            return jax.lax.fori_loop(0, k, body, a)
+        return run
 
-    np.asarray(run(a, b).ravel()[:1])
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        out = run(a, b)
-    np.asarray(out.ravel()[:1])
-    dt = (time.perf_counter() - t0) / reps
-    return 3 * n * 4 * k / dt / 1e9
+    def t_of(k):
+        fn = make(k)
+        np.asarray(fn(a, b).ravel()[:1])
+        ss = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(a, b)
+            np.asarray(out.ravel()[:1])
+            ss.append(time.perf_counter() - t0)
+        return sorted(ss)[1]
+
+    lo, hi = 4, 20
+    per_iter = (t_of(hi) - t_of(lo)) / (hi - lo)
+    return 3 * n * 4 / per_iter / 1e9
 
 
 def _bigmesh_workload():

@@ -62,10 +62,20 @@ class Hit:
 
 
 def prim_transform(scene: SceneFlat, i: int, times):
-    """Interpolated transform of primitive i at per-ray times (R,)."""
+    """Interpolated transform of primitive i at per-ray times (R,).
+
+    Static primitives (host-known start == end, PrimStatic.motion False)
+    skip the per-lane lerp/nlerp entirely and return the start transform
+    unbatched — it broadcasts against (R, ...) downstream. Gradient note:
+    for static prims the transform gradient then flows only to the
+    start_* parameters (end_* get zero) instead of a (1-t̄)/t̄ lerp split
+    of the same total; with start == end the two parameterizations
+    describe the same scene and tests treat start_* as the knob."""
     start = Transform(
         p=scene.prims.start_p[i], q=scene.prims.start_q[i], s=scene.prims.start_s[i]
     )
+    if not scene.prim_static[i].motion:
+        return start
     end = Transform(
         p=scene.prims.end_p[i], q=scene.prims.end_q[i], s=scene.prims.end_s[i]
     )
@@ -85,6 +95,11 @@ def _prim_transforms_batched(scene: SceneFlat, idxs, times):
         q=scene.prims.start_q[sel][:, None, :],
         s=scene.prims.start_s[sel][:, None],
     )
+    if not any(scene.prim_static[i].motion for i in idxs):
+        # all-static group: the (I, 1, ...) start transform broadcasts
+        # against (I, R, ...) downstream — no per-lane interp (see
+        # prim_transform; measured in benchmarks/r9_static_hoist note)
+        return start
     end = Transform(
         p=scene.prims.end_p[sel][:, None, :],
         q=scene.prims.end_q[sel][:, None, :],

@@ -372,6 +372,10 @@ class PrimStatic:
     mesh: Optional[MeshHandle]
     material_index: int
     light_samples: int
+    # host-known "start == end transform": lets the trace path skip the
+    # per-lane motion interpolation (lerp/nlerp over (I, R)) entirely for
+    # static primitives — the common case for every non-motion-blur scene
+    motion: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -591,12 +595,20 @@ class Scene:
             handle = None
             if p.type == MESH and p.mesh is not None:
                 handle = handles[mesh_ids[id(p.mesh)]]
+            e = p.resolved_end()
+            st = p.start_transform
+            moving = not (
+                np.array_equal(np.asarray(st.p), np.asarray(e.p))
+                and np.array_equal(np.asarray(st.q), np.asarray(e.q))
+                and float(st.s) == float(e.s)
+            )
             prim_static.append(
                 PrimStatic(
                     type=p.type,
                     mesh=handle,
                     material_index=i,
                     light_samples=int(p.light_samples),
+                    motion=moving,
                 )
             )
 
