@@ -130,6 +130,31 @@ def test_wo3_roundtrip(tmp_path):
     assert mesh.bvh is not None and mesh.area > 0
 
 
+def test_bin_roundtrip(tmp_path):
+    """Reference `.bin` dump import (mesh.cpp:809-880): geometry, stored
+    normals, area and CDF consumed; coordinates NOT re-normalized (the
+    dump is written post-normalization by -convert, main.cpp:152-170);
+    the foreign serialized BVH block is skipped and the wide tree
+    rebuilt."""
+    from tinsel_tpu.scene.loaders.mesh_io import import_mesh, save_bin
+    from tinsel_tpu.scene.procedural import sphere
+
+    src = sphere(radius=3.0, n_theta=12, n_phi=12)
+    src.build()
+    path = str(tmp_path / "ball.bin")
+    save_bin(path, src)
+
+    mesh = import_mesh(path, cache=False)
+    np.testing.assert_allclose(mesh.positions, src.positions, atol=1e-6)
+    np.testing.assert_array_equal(mesh.indices, src.indices)
+    np.testing.assert_allclose(mesh.normals, src.normals, atol=1e-5)
+    np.testing.assert_allclose(mesh.cdf, src.cdf, atol=1e-6)
+    assert abs(mesh.area - src.area) < 1e-4 * max(src.area, 1.0)
+    # radius 3 preserved: no normalization happened
+    assert np.linalg.norm(mesh.positions, axis=-1).max() > 2.5
+    assert mesh.bvh is not None
+
+
 def test_mesh_cache_roundtrip(tmp_path):
     """The round-1 cache bug dropped the ranged-leaf BVH's count/perm and
     silently rebuilt a corrupt tree on load — so this test must prove the

@@ -61,6 +61,14 @@ class Hit:
     normal: jax.Array  # (R, 3) shading normal, face-forwarded to -ray dir
 
 
+STATIC_TRANSFORM_HOIST = True  # skip the per-lane lerp for host-static
+# prims (start == end). Gradient caveat (ADVICE r4): the hoist routes the
+# whole transform gradient to start_* and zeroes end_* — correct for the
+# scene (start == end parameterize the same transform) but a surprise if
+# you optimize end_* from a statically-initialized scene. Set False to
+# keep the (1-t)/t lerp split so end_* gradients flow.
+
+
 def prim_transform(scene: SceneFlat, i: int, times):
     """Interpolated transform of primitive i at per-ray times (R,).
 
@@ -70,11 +78,12 @@ def prim_transform(scene: SceneFlat, i: int, times):
     for static prims the transform gradient then flows only to the
     start_* parameters (end_* get zero) instead of a (1-t̄)/t̄ lerp split
     of the same total; with start == end the two parameterizations
-    describe the same scene and tests treat start_* as the knob."""
+    describe the same scene and tests treat start_* as the knob. Flip
+    STATIC_TRANSFORM_HOIST off to restore end_* gradients."""
     start = Transform(
         p=scene.prims.start_p[i], q=scene.prims.start_q[i], s=scene.prims.start_s[i]
     )
-    if not scene.prim_static[i].motion:
+    if STATIC_TRANSFORM_HOIST and not scene.prim_static[i].motion:
         return start
     end = Transform(
         p=scene.prims.end_p[i], q=scene.prims.end_q[i], s=scene.prims.end_s[i]
@@ -95,7 +104,9 @@ def _prim_transforms_batched(scene: SceneFlat, idxs, times):
         q=scene.prims.start_q[sel][:, None, :],
         s=scene.prims.start_s[sel][:, None],
     )
-    if not any(scene.prim_static[i].motion for i in idxs):
+    if STATIC_TRANSFORM_HOIST and not any(
+        scene.prim_static[i].motion for i in idxs
+    ):
         # all-static group: the (I, 1, ...) start transform broadcasts
         # against (I, R, ...) downstream — no per-lane interp (see
         # prim_transform; measured in benchmarks/r9_static_hoist note)
@@ -422,7 +433,7 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
             # (the reference's scene-BVH near-first descent,
             # intersection.h:751-799, in batch form).
             t_min, tri, inst = _instance_rounds(
-                scene, sg(o_l), sg(d_l), tn, sg(best_t), noff_t, toff_t,
+                scene, sg(o_l), sg(d_l), sg(tn), sg(best_t), noff_t, toff_t,
                 ss_b,
             )
         hit = jnp.isfinite(t_min) & (t_min < best_t)
@@ -547,8 +558,8 @@ def trace_any(scene: SceneFlat, origins, dirs, times, tmax) -> jax.Array:
             # heuristic here); lanes stay live while unvisited boxes
             # intersect the unoccluded segment
             occ = _instance_rounds_any(
-                scene, sg(o_l), sg(d_l), tn, sg(jnp.where(occ, 0.0, tmax)),
-                occ, noff_t, toff_t, ss_b,
+                scene, sg(o_l), sg(d_l), sg(tn),
+                sg(jnp.where(occ, 0.0, tmax)), occ, noff_t, toff_t, ss_b,
             )
     # saved under the integrator's remat policy (see trace_closest)
     return checkpoint_name(occ, "hit")

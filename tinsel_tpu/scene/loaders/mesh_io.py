@@ -13,9 +13,14 @@ Also reads `.wo3` (mesh.cpp:1167-1216): flat little-endian dump of
 reference's dispatch (mesh.cpp:105-132) wo3 meshes keep their stored
 normals and are NOT unit-box normalized.
 
-Deliberate exclusions vs the reference's importer matrix:
-- `.bin` (mesh.cpp:809-880): its role (prebuilt BVH+CDF cache) is covered
-  by the .npz cache, which round-trips the ranged-leaf BVH exactly;
+Also reads the reference's `.bin` dump (mesh.cpp:809-880, written by its
+`-convert` mode, main.cpp:152-170): geometry, normals, area and CDF are
+consumed; the serialized binary-BVH node block is SKIPPED and the wide
+TPU BVH rebuilt — the reference's 32-byte binary nodes are the wrong
+layout for this machine, and rebuilding keeps one tree format. The .npz
+cache covers the prebuilt-cache *role* natively.
+
+Deliberate exclusion vs the reference's importer matrix:
 - `.dae` (COLLADA): the reference ships one DAE asset but no DAE importer
   either — it parses nothing beyond OBJ/PLY/BIN/WO3 (mesh.cpp:105-132).
 """
@@ -77,6 +82,8 @@ def import_mesh(path: str, cache: bool = True) -> Mesh:
         mesh = import_ply(path)
     elif ext == ".wo3":
         mesh = import_wo3(path)
+    elif ext == ".bin":
+        mesh = import_bin(path)
     elif ext == ".npz":
         return load_mesh_cache(path)
     else:
@@ -84,8 +91,9 @@ def import_mesh(path: str, cache: bool = True) -> Mesh:
     # scene-file transforms assume unit meshes: imported OBJ/PLY are
     # normalized to the unit box exactly like the reference
     # (mesh.cpp:105-132 ImportMesh -> Normalize before BVH build);
-    # wo3 keeps its stored coordinates and normals (same dispatch)
-    if ext != ".wo3":
+    # wo3/bin keep their stored coordinates and normals (same dispatch —
+    # a .bin was normalized when the reference converted it)
+    if ext not in (".wo3", ".bin"):
         mesh.normalize()
     mesh.build()
     dt = (time.perf_counter() - t0) * 1000.0
@@ -261,6 +269,76 @@ def save_wo3(path: str, positions: np.ndarray, indices: np.ndarray,
         f.write(verts.tobytes())
         f.write(np.uint64(len(indices)).tobytes())
         f.write(tris.tobytes())
+
+
+# ------------------------------------------------------------------------ BIN
+
+
+def import_bin(path: str) -> Mesh:
+    """Reference `.bin` mesh dump (mesh.cpp:809-880): header of three
+    little-endian i32 {numVertices, numIndices, numNodes}, then positions
+    (numVertices x 12 B Vec3), normals (same), indices (numIndices x i32),
+    numNodes x 32 B binary BVH nodes (SKIPPED — the wide TPU tree is
+    rebuilt, see module docstring), then area (f32) and the per-triangle
+    area CDF (numIndices/3 x f32), which are kept verbatim."""
+    with open(path, "rb") as f:
+        data = f.read()
+    n_vtx, n_idx, n_nodes = (int(v) for v in np.frombuffer(data, "<i4", 3))
+    if n_vtx <= 0 or n_idx <= 0 or n_idx % 3 or n_nodes < 0:
+        raise ValueError(f"corrupt .bin mesh header in {path}")
+    off = 12
+    pos = np.frombuffer(data, "<f4", n_vtx * 3, off).reshape(n_vtx, 3)
+    off += n_vtx * 12
+    nrm = np.frombuffer(data, "<f4", n_vtx * 3, off).reshape(n_vtx, 3)
+    off += n_vtx * 12
+    idx = np.frombuffer(data, "<i4", n_idx, off).reshape(-1, 3)
+    off += n_idx * 4
+    off += n_nodes * 32  # serialized BVHNode block: layout-foreign, skipped
+    mesh = Mesh(
+        positions=np.ascontiguousarray(pos, np.float32),
+        indices=np.ascontiguousarray(idx, np.int32),
+    )
+    if off + 4 + (n_idx // 3) * 4 <= len(data):
+        mesh.area = float(np.frombuffer(data, "<f4", 1, off)[0])
+        mesh.cdf = np.ascontiguousarray(
+            np.frombuffer(data, "<f4", n_idx // 3, off + 4), np.float32
+        )
+    norm = np.linalg.norm(nrm, axis=-1, keepdims=True)
+    if np.isfinite(nrm).all() and (norm[:, 0] > 1e-8).all():
+        mesh.normals = np.ascontiguousarray(nrm / norm, np.float32)
+    return mesh
+
+
+def save_bin(path: str, mesh: Mesh):
+    """Writer for the reference's `.bin` layout (round-trip/test complement
+    of import_bin; also lets assets converted here feed the reference).
+    Requires a built mesh (cdf/area present); emits a single root leaf node
+    block so the reference's reader gets a structurally valid (if trivial)
+    tree — it rebuilds nothing, so readers that *use* the nodes get one
+    32-byte leaf covering all items."""
+    if mesh.cdf is None:
+        raise ValueError("save_bin needs a built mesh (mesh.build())")
+    n_vtx = len(mesh.positions)
+    idx = np.asarray(mesh.indices, np.int32).reshape(-1, 3)
+    nrm = mesh.normals
+    if nrm is None or len(nrm) != n_vtx:
+        raise ValueError("save_bin needs vertex normals (mesh.build())")
+    lo = mesh.positions.min(axis=0).astype(np.float32)
+    hi = mesh.positions.max(axis=0).astype(np.float32)
+    # one leaf node: bounds + {leftIndex=0, rightIndex:31=count, leaf:1=1}
+    node = np.zeros(8, np.uint32)
+    node[0:3] = lo.view(np.uint32)
+    node[3:6] = hi.view(np.uint32)
+    node[6] = 0
+    node[7] = np.uint32((len(idx) & 0x7FFFFFFF) | 0x80000000)
+    with open(path, "wb") as f:
+        f.write(np.asarray([n_vtx, idx.size, 1], "<i4").tobytes())
+        f.write(np.asarray(mesh.positions, "<f4").tobytes())
+        f.write(np.asarray(nrm, "<f4").tobytes())
+        f.write(np.asarray(idx, "<i4").tobytes())
+        f.write(node.tobytes())
+        f.write(np.float32(mesh.area).tobytes())
+        f.write(np.asarray(mesh.cdf, "<f4").tobytes())
 
 
 # ------------------------------------------------------------------------ PLY

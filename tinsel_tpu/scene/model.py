@@ -597,9 +597,12 @@ class Scene:
                 handle = handles[mesh_ids[id(p.mesh)]]
             e = p.resolved_end()
             st = p.start_transform
+            # q and -q are the same rotation (quaternion double cover):
+            # either match keeps the primitive on the static fast path
+            sq, eq = np.asarray(st.q), np.asarray(e.q)
             moving = not (
                 np.array_equal(np.asarray(st.p), np.asarray(e.p))
-                and np.array_equal(np.asarray(st.q), np.asarray(e.q))
+                and (np.array_equal(sq, eq) or np.array_equal(sq, -eq))
                 and float(st.s) == float(e.s)
             )
             prim_static.append(
