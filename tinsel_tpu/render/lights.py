@@ -4,11 +4,22 @@ Functional parity with SampleLights (render.cpp:103-227):
  - HDR-probe sample + shadow ray + balance-heuristic weight with
    sample-count coefficients (render.cpp:107-144)
  - per-light area sampling (sphere surface / mesh triangle via area CDF,
-   intersection.h:855-904), visibility by closest-hit with the distance
-   tolerance that enables portal sampling (render.cpp:175-185), area->solid
-   angle pdf conversion, pdf floor Max(1e-3, lightPdf) (render.cpp:217)
- - emission taken from the *actually hit* primitive, so sampling a large
-   light through a portal works.
+   intersection.h:855-904), visibility with the distance tolerance that
+   enables portal sampling (render.cpp:175-185), area->solid angle pdf
+   conversion, pdf floor Max(1e-3, lightPdf) (render.cpp:217).
+
+Shadow-ray visibility (r5): the default resolves area-light visibility
+with a SEGMENT occlusion query — trace_any up to dist - kTolerance —
+and uses the *sampled* light's emission and distance. The reference
+instead traces a full closest hit and accepts when |t - dist| <= tol,
+taking the emission of whatever was hit (render.cpp:172-218). The two
+estimators agree except when a ray epsilon-misses its own light or two
+emitters overlap within the tolerance; the occlusion form halves the
+NEE stage cost (trace_any early-exits, skips the hit refit + one-hot
+emission gather) and saves ONE BOOL of remat residual per shadow ray
+instead of (t, prim, normal) — measured on TPU, see benchmarks/
+r10_nee_ab.py. Set NEE_CLOSEST_SHADOW=True for the bit-level reference
+estimator (the parity suite passes under both).
 
 All loops over lights are static (unrolled per scene topology); per-lane
 work is fully masked.
@@ -37,6 +48,10 @@ from .trace import prim_transform, trace_any, trace_closest
 RAY_EPS = 1e-4  # kRayEpsilon, render.cpp:11
 K_BSDF_SAMPLES = 1.0
 K_PROBE_SAMPLES = 1.0
+PORTAL_TOL = 1e-2  # kTolerance, render.cpp:182
+NEE_CLOSEST_SHADOW = False  # True = reference estimator: closest hit,
+# |t - dist| <= tol acceptance, emission of the hit prim (see module
+# docstring). False = segment occlusion query (default, faster fwd+bwd).
 
 
 def primitive_sample(scene: SceneFlat, j: int, times, key):
@@ -162,27 +177,46 @@ def sample_lights(scene: SceneFlat, mat, eta_i, eta_o, p, n, wo, times, key,
         dist = jnp.sqrt(jnp.maximum(length_sq(wi_un), 1e-20))
         wi = wi_un / dist[..., None]
         shadow_o = p + face_forward(n, wi) * RAY_EPS
-        sh = trace_closest(scene, shadow_o, wi, times)
-        hit_any = sh.prim >= 0
-        t = jnp.where(hit_any, sh.t, 0.0)
-        accept = hit_any & (jnp.abs(t - dist) <= 1e-2)
+        if NEE_CLOSEST_SHADOW:
+            sh = trace_closest(scene, shadow_o, wi, times)
+            hit_any = sh.prim >= 0
+            t = jnp.where(hit_any, sh.t, 0.0)
+            accept = hit_any & (jnp.abs(t - dist) <= PORTAL_TOL)
+            light_t = t
+            oh_sh = jax.nn.one_hot(
+                jnp.maximum(sh.prim, 0), scene.num_prims, dtype=jnp.float32
+            )
+            emission = jnp.matmul(
+                oh_sh, scene.materials.emission,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            # segment occlusion + per-lane select of the SAMPLED light's
+            # emission (static unrolled selects; see module docstring)
+            occ = trace_any(
+                scene, shadow_o, wi, times,
+                jnp.maximum(dist - PORTAL_TOL, 0.0),
+            )
+            accept = ~occ
+            light_t = dist
+            emission = jnp.zeros_like(p)
+            for jj, j in enumerate(li):
+                emission = jnp.where(
+                    (sel == jj)[..., None], scene.materials.emission[j],
+                    emission,
+                )
         nl = jnp.abs(dot(nrm, wi))
         accept = accept & (nl >= 1e-6) & (pmf_sel > 0.0)
 
         # selection pmf folds into the NEE pdf; one sample per strategy
         # -> balance-heuristic coefficients are 1/2 each and cancel
-        light_pdf = pmf_sel * (t * t) / jnp.maximum(area * nl, 1e-12)
+        light_pdf = pmf_sel * (light_t * light_t) / jnp.maximum(
+            area * nl, 1e-12
+        )
         bpdf = bsdf_pdf(mat, eta_i, eta_o, n, wo, wi)
         f = bsdf_eval(mat, eta_i, eta_o, n, wo, wi)
         accept = accept & (bpdf > 0.0)
         weight = light_pdf / jnp.maximum(bpdf + light_pdf, 1e-12)
-        oh_sh = jax.nn.one_hot(
-            jnp.maximum(sh.prim, 0), scene.num_prims, dtype=jnp.float32
-        )
-        emission = jnp.matmul(
-            oh_sh, scene.materials.emission,
-            precision=jax.lax.Precision.HIGHEST,
-        )
         contrib = (
             (weight * jnp.abs(dot(wi, n)) / jnp.maximum(light_pdf, 1e-3))[..., None]
             * f
@@ -203,18 +237,43 @@ def sample_lights(scene: SceneFlat, mat, eta_i, eta_o, p, n, wo, times, key,
             wi = wi_un / dist[..., None]
 
             shadow_o = p + face_forward(n, wi) * RAY_EPS
-            sh = trace_closest(scene, shadow_o, wi, times)
-            hit_any = sh.prim >= 0
-            t = jnp.where(hit_any, sh.t, 0.0)
-
-            # portal-friendly acceptance: the shadow ray must land at the
-            # sampled distance (whatever emissive surface it lands on)
-            accept = hit_any & (jnp.abs(t - dist) <= 1e-2)
+            if NEE_CLOSEST_SHADOW:
+                # reference estimator: closest hit, tolerance acceptance,
+                # emission of the *hit* prim (render.cpp:172-218)
+                sh = trace_closest(scene, shadow_o, wi, times)
+                hit_any = sh.prim >= 0
+                t = jnp.where(hit_any, sh.t, 0.0)
+                accept = hit_any & (jnp.abs(t - dist) <= PORTAL_TOL)
+                light_t = t
+                # one-hot matmul, not a gather: emission carries material
+                # gradients; gather backward is a colliding scatter-add
+                oh_sh = jax.nn.one_hot(
+                    jnp.maximum(sh.prim, 0), scene.num_prims,
+                    dtype=jnp.float32,
+                )
+                emission = jnp.matmul(
+                    oh_sh, scene.materials.emission,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                # segment occlusion: anything strictly before the sampled
+                # point (minus the portal tolerance) blocks; the sampled
+                # light's own surface at ~dist does not. Emission is the
+                # sampled light's row — a static differentiable slice
+                occ = trace_any(
+                    scene, shadow_o, wi, times,
+                    jnp.maximum(dist - PORTAL_TOL, 0.0),
+                )
+                accept = ~occ
+                light_t = dist
+                emission = jnp.broadcast_to(
+                    scene.materials.emission[j], p.shape
+                )
 
             nl = jnp.abs(dot(light_nrm, wi))
             accept = accept & (nl >= 1e-6)
 
-            light_pdf = (t * t) / jnp.maximum(area * nl, 1e-12)
+            light_pdf = (light_t * light_t) / jnp.maximum(area * nl, 1e-12)
 
             bpdf = bsdf_pdf(mat, eta_i, eta_o, n, wo, wi)
             f = bsdf_eval(mat, eta_i, eta_o, n, wo, wi)
@@ -225,16 +284,6 @@ def sample_lights(scene: SceneFlat, mat, eta_i, eta_o, p, n, wo, times, key,
             c_light = n_samples / ns_
             weight = c_light * light_pdf / jnp.maximum(
                 c_bsdf * bpdf + c_light * light_pdf, 1e-12
-            )
-
-            # one-hot matmul, not a gather: emission carries material
-            # gradients and a gather's backward is a colliding scatter-add
-            oh_sh = jax.nn.one_hot(
-                jnp.maximum(sh.prim, 0), scene.num_prims, dtype=jnp.float32
-            )
-            emission = jnp.matmul(
-                oh_sh, scene.materials.emission,
-                precision=jax.lax.Precision.HIGHEST,
             )
             contrib = (
                 (weight * jnp.abs(dot(wi, n)) / jnp.maximum(light_pdf, 1e-3))[..., None]
