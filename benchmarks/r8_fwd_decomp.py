@@ -15,6 +15,32 @@ bench.py methodology). Successive differences attribute cost:
   full integrator       — everything (emission MIS, sky, masks, carry)
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/r8_fwd_decomp.py
+
+RESULT (TPU v5 lite, 2026-08-20, 256x256 d4 16spp, slope 2->8 chunks;
+ms per 16-spp chunk, successive differences attribute the stage):
+
+  before the r5 NEE change (closest-hit shadow rays):
+    raygen+splat   -0.67 (+ -0.7)      | noise: fused into the bounce
+    +trace         15.51 (+16.2)      | 4 closest-hit bounces
+    +materials     14.11 (+ -1.4)      | one-hot select fuses to ~0
+    +nee           32.16 (+18.1)  <-- top stage
+    +bsdf          37.50 (+ 5.3)
+    full           44.06 (+ 6.6)       | emission MIS, sky, carry
+  after (NEE shadow = segment occlusion, benchmarks/r10_nee_ab.py):
+    raygen+splat   -0.04 (+ -0.0)
+    +trace         15.80 (+15.8)  <-- now the top stage
+    +materials     14.19 (+ -1.6)
+    +nee           29.07 (+14.9)       | -3.2 ms in the stage harness
+    +bsdf          35.13 (+ 6.1)
+    full           38.70 (+ 3.6)       | 216.8 M rays/s in-harness
+
+Forward traffic model: XLA cost analysis of the compiled full pass
+reports 9.27 GB accessed / 8.39 M counted rays = 1105 B/ray (vs the
+r4 hand guess of 256 B) -> HBM model 705 GB/s / 1105 B = 638 M rays/s;
+the shipped 223.6 M is 35% of that. Average achieved traffic is only
+9.27 GB / 38.7 ms = 240 GB/s, so the cornell forward is fusion-count /
+latency bound, not bandwidth bound: the lever is fewer, larger fusions
+(fewer materialized (R,) intermediates), not fewer bytes per op.
 """
 
 import time
