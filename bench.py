@@ -204,12 +204,18 @@ def main():
     # secondary: large-mesh BVH closest-hit (524k-tri sphere, 65k rays)
     # (skipped in CPU fallback: a 524k-tri traversal takes tens of minutes
     # off-accelerator and measures nothing about the framework)
-    bigmesh_mrays = _bigmesh_metric() if not degraded else 0.0
+    if not degraded:
+        bigmesh_mrays, bigmesh_perray = _bigmesh_metric()
+    else:
+        bigmesh_mrays = bigmesh_perray = 0.0
 
     # speed-of-light accounting (see README "Speed of light" for the model)
     hbm_gbps = _measure_hbm_bw()
     bigmesh_sol_mrays = hbm_gbps * 1e9 / _BIGMESH_BYTES_PER_RAY / 1e6
-    fwd_sol_rays = hbm_gbps * 1e9 / _FWD_BYTES_PER_RAY
+    fwd_bpr = _fwd_bytes_per_ray(
+        pass_fn, flat, cam, key, rays_per_pass * spp_chunk
+    )
+    fwd_sol_rays = hbm_gbps * 1e9 / fwd_bpr
     # the MEASURED limiter for traversal is not HBM bandwidth but the
     # per-lane issue rate of the dependent in-loop gather step. Both
     # roofline inputs are RE-MEASURED each run (r3 VERDICT #4 — the old
@@ -217,6 +223,11 @@ def main():
     # steps/ray from traversal_cost on the exact bench workload, and
     # ns/lane/step from a chained capped-walk slope of the SHIPPED _step
     # (method: benchmarks/r7_stepcost.py).
+    # NOTE r5: this roofline models the PER-RAY walk (one gather lane
+    # per ray-step). The headline bigmesh number now uses shared-walk
+    # packets (accel/packets.py), which amortize ~G/inflation gather
+    # lanes per ray-step — the packet number can legitimately approach
+    # or EXCEED this model's ceiling; compare bigmesh_perray to it.
     if not degraded:
         step_stats = _bigmesh_step_stats()
         bigmesh_issue_sol_mrays = 1e3 / (
@@ -248,6 +259,7 @@ def main():
                 "fwd_bwd_over_fwd_matched_spp": round(bwd_ratio_matched, 2),
                 "spp_per_sec": round(n_timed / dt, 3),
                 "bigmesh_524k_closest_hit_mrays_per_sec": bigmesh_mrays,
+                "bigmesh_perray_mrays_per_sec": bigmesh_perray,
                 "hbm_bw_gbps": round(hbm_gbps, 1),
                 "bigmesh_sol_mrays_per_sec": round(bigmesh_sol_mrays, 1),
                 "bigmesh_sol_fraction": round(
@@ -268,6 +280,7 @@ def main():
                 "bigmesh_step_ns_per_lane": step_stats["step_ns_per_lane"],
                 "fwd_sol_rays_per_sec": round(fwd_sol_rays),
                 "fwd_sol_fraction": round(fwd_rays_per_sec / fwd_sol_rays, 4),
+                "fwd_bytes_per_ray": round(fwd_bpr, 1),
                 "dispatch_ms": round(dispatch_ms, 1),
                 "platform": platform,
             }
@@ -289,10 +302,28 @@ def main():
 # hit leaf blocks x 576 bytes (144 consumed cols of the 192-col block row)
 _BIGMESH_BYTES_PER_RAY = 13.5 * 68 + 2.1 * 576
 
-# cornell forward: the scene tables fit on chip; the irreducible traffic
-# is the path/shadow-ray state (~32 f32 read + written once per counted
-# ray through the bounce loop)
-_FWD_BYTES_PER_RAY = 2 * 32 * 4
+# cornell forward: derived per run from XLA's own cost analysis of the
+# compiled render pass ("bytes accessed" / counted rays) instead of the
+# r1-r4 hand guess (2*32*4 = 256 B; the compiler reports ~1100 B —
+# benchmarks/r8_fwd_decomp.py RESULT). Fallback if the backend offers
+# no cost analysis:
+_FWD_BYTES_PER_RAY_FALLBACK = 1105.0
+
+
+def _fwd_bytes_per_ray(pass_fn, flat, cam, key, rays_per_pass):
+    """XLA-reported bytes accessed per counted ray for one compiled
+    render pass — the forward roofline's traffic model (measured, not
+    modeled by hand; see benchmarks/r8_fwd_decomp.py)."""
+    try:
+        ca = jax.jit(pass_fn).lower(flat, cam, key).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        b = float(ca.get("bytes accessed", 0.0))
+        if b > 0:
+            return b / rays_per_pass
+    except Exception:
+        pass
+    return _FWD_BYTES_PER_RAY_FALLBACK
 
 
 def _measure_hbm_bw():
@@ -437,37 +468,49 @@ def _bigmesh_step_stats():
 
 
 def _bigmesh_metric():
+    """Returns (packet_mrays, perray_mrays): the headline number is the
+    shared-walk packet path (intersect_mesh packet_g=8, the product's
+    fast path for coherent batches — accel/packets.py, r5); the per-ray
+    walk is kept alongside for continuity with r1-r4 records and because
+    it remains the default for incoherent bounce rays. Both are slopes
+    between two in-jit chain lengths, INTERLEAVED (the tunnel's session
+    drift is +-15-20%; only same-run comparisons are trustworthy)."""
     import tinsel_tpu.accel.traverse as trav
 
     flat, h, origins, dirs, tmax = _bigmesh_workload()
 
-    # slope between two in-jit chain lengths: per-dispatch tunnel overhead
-    # (14-28 ms, session-dependent) cancels — see module docstring
-    def chain(n):
+    def chain(n, g):
         def run(pool, o, d, t):
             def body(i, bt):
                 o2 = o + (0.0 * bt[:1]).reshape(1, 1)  # serialize iterations
                 tt, *_ = trav.intersect_mesh(
                     pool, h.node_offset, h.tri_offset, o2, d, t,
-                    stack_slots=h.stack_slots,
+                    stack_slots=h.stack_slots, packet_g=g,
                 )
                 return jnp.where(jnp.isfinite(tt), tt, 0.0)
             return jax.lax.fori_loop(0, n, body, t * 0.0)
         return jax.jit(run)
 
-    ts = {}
-    for n in (1, 4):
-        fn = chain(n)
-        np.asarray(fn(flat.pool, origins, dirs, tmax).ravel()[:1])
-        samples = []
-        for _ in range(3):
+    fns = {}
+    for g in (8, None):
+        for n in (1, 4):
+            fn = chain(n, g)
+            np.asarray(fn(flat.pool, origins, dirs, tmax).ravel()[:1])
+            fns[(g, n)] = fn
+    samples = {k: [] for k in fns}
+    for _ in range(5):
+        for k, fn in fns.items():
             t0 = time.perf_counter()
             out = fn(flat.pool, origins, dirs, tmax)
             np.asarray(out.ravel()[:1])
-            samples.append(time.perf_counter() - t0)
-        ts[n] = sorted(samples)[1]
-    per = (ts[4] - ts[1]) / 3
-    return round(origins.shape[0] / per / 1e6, 3)
+            samples[k].append(time.perf_counter() - t0)
+
+    def rate(g):
+        t1 = sorted(samples[(g, 1)])[2]
+        t4 = sorted(samples[(g, 4)])[2]
+        return round(origins.shape[0] / ((t4 - t1) / 3) / 1e6, 3)
+
+    return rate(8), rate(None)
 
 
 if __name__ == "__main__":

@@ -25,19 +25,29 @@ best_t pruning), else descends into the first unvisited internal child
 hit by any member, else pops. Per-ray best_t tightens exactly as in the
 per-ray walk, so results are identical.
 
-RESULT (524k-tri sphere; run 2026-08-20):
-  frontal  G=  8: union mean  6.6 (infl 1.22x) -> gather win  6.6x
-  frontal  G= 16: union mean  7.4 (infl 1.37x) -> gather win 11.7x
-  frontal  G= 32: union mean  8.4 (infl 1.55x) -> gather win 20.7x
-  frontal  G= 64: union mean  9.9 (infl 1.83x) -> gather win 35.0x
-  frontal  G=128: union mean 12.4 (infl 2.29x) -> gather win 55.9x
-  diffuse  G=  8: union mean 15.0 (infl 3.10x) -> gather win  2.6x
-  diffuse  G= 16: union mean 21.7 (infl 4.49x) -> gather win  3.6x
-  diffuse  G= 32: union mean 30.5 (infl 6.32x) -> gather win  5.1x
-  diffuse  G= 64: union mean 41.1 (infl 8.50x) -> gather win  7.5x
-  (gather win = G / inflation = reduction in gather lane-steps per ray;
-  the VPU test work per ray-step stays ~constant. See the numbers above
-  for the measured run.)
+RESULT (524k-tri sphere; RE-RUN LIVE 2026-08-20, r5 — the RESULT block
+previously recorded here claimed frontal G=8 inflation 1.22x / win 6.6x;
+that was a transcription error the r4 VERDICT propagated. The shipped
+rejection note in accel/traverse.py ("3.4x inflation vs 2.4x win at
+G=8") matches this live run exactly):
+  frontal  G=  1: per-ray mean  6.62 p95  14.0 max   58
+  frontal  G=  8: union mean  22.4 (infl  3.39x) -> gather win 2.4x
+  frontal  G= 16: union mean  39.6 (infl  5.98x) -> gather win 2.7x
+  frontal  G= 32: union mean  73.2 (infl 11.06x) -> gather win 2.9x
+  frontal  G= 64: union mean 138.1 (infl 20.87x) -> gather win 3.1x
+  frontal  G=128: union mean 268.1 (infl 40.52x) -> gather win 3.2x
+  diffuse  G=  1: per-ray mean  7.31 p95  13.0 max   23
+  diffuse  G=  8: union mean  26.8 (infl  3.66x) -> gather win 2.2x
+  diffuse  G= 16: union mean  45.7 (infl  6.25x) -> gather win 2.6x
+  diffuse  G= 32: union mean  80.8 (infl 11.05x) -> gather win 2.9x
+  (gather win = G / inflation = reduction in gather lane-steps per ray.)
+
+The device A/B (benchmarks/r10_packets.py, r5) shows the mean-model is
+PESSIMISTIC about packets despite the 3.4x inflation: packets also
+homogenize the lockstep tail (per-ray per-tile max/mean is 8.6x at 4096
+lanes; packet union max/mean only ~2.2x), and the packet step itself is
+2.4-4.2x cheaper than R per-ray lanes. Net device win at g=8, tile 512,
+cap 24: 1.46x on the bigmesh frontal workload.
 """
 
 import numpy as np

@@ -258,6 +258,45 @@ def test_tiled_matches_untiled_traversal():
     np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), rtol=1e-5)
 
 
+def test_packet_matches_per_ray():
+    """Shared-walk packet traversal (accel.packets) must reproduce the
+    per-ray walk's best_t exactly: the packet visits a superset of each
+    ray's nodes and every test runs under that ray's own best_t bound.
+    Winning-triangle ties may differ; where the pool carries no duplicate
+    geometry (random soup), tri ids must match too. Exercises G in {2, 8},
+    tiles small enough to force the packet compaction + phase 2."""
+    from tinsel_tpu.accel.packets import intersect_mesh_packets
+
+    positions, indices = _random_tri_soup(500, seed=11)
+    pool, _ = _pool_from_mesh(positions, indices)
+    rng = np.random.default_rng(12)
+    n_rays = 256
+    origins = rng.uniform(-15, 15, size=(n_rays, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    # half the rays truncated: tmax pruning must stay per-ray
+    tmax = np.full((n_rays,), np.inf, np.float32)
+    tmax[::2] = 10.0
+    tmax_j = jnp.asarray(tmax)
+
+    t_ref, tri_ref, *_ = intersect_mesh(
+        pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax_j,
+        tile=n_rays,
+    )
+    for g, tile in ((2, 32), (8, 8), (8, 32)):
+        t_p, tri_p = intersect_mesh_packets(
+            pool, 0, 0, jnp.asarray(origins), jnp.asarray(dirs), tmax_j,
+            g=g, stack_slots=48, tile=tile, cap=4,
+        )
+        # raw best_t semantics (= tmax on miss), like traverse._run_tiled
+        t_p = np.where(np.asarray(tri_p) >= 0, np.asarray(t_p), np.inf)
+        np.testing.assert_allclose(
+            t_p, np.asarray(t_ref), rtol=1e-6,
+            err_msg=f"packet g={g} tile={tile}",
+        )
+        np.testing.assert_array_equal(np.asarray(tri_p), np.asarray(tri_ref))
+
+
 def test_brute_small_mesh_matches_traversal():
     positions, indices = _random_tri_soup(12, seed=9)
     pool, _ = _pool_from_mesh(positions, indices)

@@ -74,8 +74,20 @@ root for every live ray and the idle-tile exit does not pay for it);
 distance-ordered descent (benchmarks/r7_order_sim.py: mean steps 5.41
 static vs 5.40 tn-ordered at K=16 — at 16-wide fanout the shallow tree
 leaves nothing for ordering to prune, unlike the reference's binary
-tree); packet traversal (r7_packet_sim.py: union-step inflation 3.4x at
-G=8 beats the 2.4x gather-amortization win at every G).
+tree).
+
+Packet traversal, r5 CORRECTION: the r4 note here rejected packets as
+"union-step inflation 3.4x at G=8 beats the 2.4x gather-amortization
+win". The inflation/win numbers were right (the r7_packet_sim.py
+docstring's RESULT block was the mis-transcription — re-run live r5),
+but the CONCLUSION was wrong, for two effects the G/inflation model
+misses: packets homogenize the lockstep tail (union max/mean ~2.2x vs
+8.6x per-ray at 4096 lanes), and a P-lane packet step costs well under
+R-lane per-ray steps even counting the (P, G, K) broadcast tests
+(the VPU was the idle resource). Device A/B (benchmarks/r10_packets.py):
+~2x end-to-end on the coherent 524k-tri benchmark at G=8. Shared-walk
+packets now live in accel.packets (opt-in via intersect_mesh packet_g;
+per-ray remains the default for incoherent bounce rays).
 
 Mosaic/Pallas has no large-table per-lane dynamic gather (indices must
 match the table shape), so this stays pure JAX by design — measured and
@@ -287,6 +299,44 @@ def _child_tests(row, o, rd, best_t, live):
         jnp.maximum(t0z, t1z),
     )
     ok = live[:, None] & (tn <= tf) & (tn < best_t[:, None])
+    words = jax.lax.bitcast_convert_type(
+        row[:, 3 * K : 4 * K], jnp.int32
+    )
+    return ok, words
+
+
+def _child_tests_packet_rows(row, o, rd, best_t, live):
+    """Packet variant of _child_tests: one gathered (P, 4K+pad) node row
+    per PACKET, slab-tested against all G member rays as (P, G, K)
+    broadcast elementwise work (accel.packets). o/rd: 3-tuples of (P, G);
+    best_t: (P, G) per-ray; live: (P,). The box unpack happens once per
+    packet; the broadcasts fuse into the consumers (nothing (P, G, K) is
+    gathered, only computed). Returns (ok (P, G, K), words (P, K))."""
+    from .build import WIDE_K as K
+
+    lox, hix = _unpack_axis(row[:, 0:K])
+    loy, hiy = _unpack_axis(row[:, K : 2 * K])
+    loz, hiz = _unpack_axis(row[:, 2 * K : 3 * K])
+    bx = (lox[:, None, :], hix[:, None, :])  # (P, 1, K)
+    by = (loy[:, None, :], hiy[:, None, :])
+    bz = (loz[:, None, :], hiz[:, None, :])
+    ox, oy, oz = (c[:, :, None] for c in o)  # (P, G, 1)
+    rx, ry, rz = (c[:, :, None] for c in rd)
+    t0x = (bx[0] - ox) * rx
+    t1x = (bx[1] - ox) * rx
+    t0y = (by[0] - oy) * ry
+    t1y = (by[1] - oy) * ry
+    t0z = (bz[0] - oz) * rz
+    t1z = (bz[1] - oz) * rz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    ok = live[:, None, None] & (tn <= tf) & (tn < best_t[:, :, None])
     words = jax.lax.bitcast_convert_type(
         row[:, 3 * K : 4 * K], jnp.int32
     )
@@ -709,7 +759,8 @@ def _refit_hit(pool: MeshPool, tri_offset, origins, dirs, best_tri, best_t):
 
 def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
                    num_tris: int | None = None, tile: int | None = None,
-                   stack_slots: int | None = None):
+                   stack_slots: int | None = None,
+                   packet_g: int | None = None):
     """Vectorized closest-hit against one mesh sub-BVH. origins/dirs: (R, 3);
     tmax: (R,). Returns (t, tri_local, u, v, w, n_geo) with t=inf on miss;
     tri_local indexes the *block-padded* pool order.
@@ -722,14 +773,31 @@ def intersect_mesh(pool: MeshPool, node_offset, tri_offset, origins, dirs, tmax,
     traversed, from MeshHandle.stack_slots / accel.build.wide_stack_bound.
     None falls back to DEFAULT_STACK_SLOTS (always safe — flatten refuses
     deeper trees — but costs extra elementwise push/pop selects).
+
+    packet_g: opt into shared-walk PACKET traversal (accel.packets) with
+    packets of this many consecutive rays — for COHERENT batches (camera
+    tiles, frontal sweeps) it is ~2x the per-ray walk on the 524k-tri
+    benchmark (device A/B, benchmarks/r10_packets.py). Requires scalar
+    node/tri offsets (one sub-BVH per call) and R % packet_g == 0;
+    incoherent rays should stay on the per-ray walk (union inflation
+    eats the gather win — r7_packet_sim.py diffuse rows).
     """
     if num_tris is not None and num_tris <= _build.BLOCK_SIZE:
         return _intersect_mesh_brute(
             pool, tri_offset, num_tris, origins, dirs, tmax
         )
 
-    tile = TILE if tile is None else tile
     ss = DEFAULT_STACK_SLOTS if stack_slots is None else stack_slots
+    if packet_g is not None and origins.shape[0] % packet_g == 0:
+        from .packets import intersect_mesh_packets
+
+        best_t, best_tri = intersect_mesh_packets(
+            pool, node_offset, tri_offset, origins, dirs, tmax,
+            g=packet_g, stack_slots=ss, tile=tile,
+        )
+        return _refit_hit(pool, tri_offset, origins, dirs, best_tri, best_t)
+
+    tile = TILE if tile is None else tile
     best_t, best_tri = _run_tiled(
         pool, node_offset, tri_offset, origins, dirs, tmax, tile, ss
     )
