@@ -10,6 +10,13 @@ any count (INSTANCE_TOPK_MIN forced high).
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH [FORCE=brute] \
     python benchmarks/r8_instances.py [grids...]
+
+RESULT r4 (shortlist): 16/36/64 inst = 5.37/4.24/4.21 spp/s; brute
+(I*R): 2.55/-/0.54 -> 7.8x at 64 instances.
+RESULT r5 (grids 8 16, TPU v5 lite, 2026-08-20): 64 inst 4.20 spp/s,
+256 inst 3.43 spp/s — 256 instances cost 1.22x the 64-instance time
+(VERDICT r4 #7 target <=1.5x): the shortlist keeps traversal lanes at
+k*R while only the (I, R) argmin table grows with I.
 """
 
 import os

@@ -248,6 +248,46 @@ def test_many_mesh_trace_matches_per_mesh_oracle():
     np.testing.assert_allclose(ht[both], best_t[both], rtol=1e-5)
 
 
+def test_coherence_sort_and_packets_match_default():
+    """COHERENCE_SORT and PACKET_TRACE_G (render/trace.py knobs) must be
+    invisible to results: the octant+Morton lane sort is undone by the
+    inverse scatter, and the shared-walk packet traversal bit-matches the
+    per-ray walk (accel/packets.py). 9-instance scene keeps the batched
+    path engaged (<= INSTANCE_TOPK_MIN); R chosen % g == 0."""
+    import tinsel_tpu.render.trace as tr
+    from tinsel_tpu.scene.presets import many_mesh_scene
+
+    sc = many_mesh_scene(9, width=8, height=8, max_depth=1)
+    flat = sc.flatten()
+    rng = np.random.default_rng(13)
+    R = 256
+    o = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 4, R)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    times = jnp.zeros((R,), jnp.float32)
+
+    base = tr.trace_closest(flat, jnp.asarray(o), jnp.asarray(d), times)
+    try:
+        for sort, g in ((True, None), (True, 8), (False, 8)):
+            tr.COHERENCE_SORT = sort
+            tr.PACKET_TRACE_G = g
+            hit = tr.trace_closest(
+                flat, jnp.asarray(o), jnp.asarray(d), times
+            )
+            np.testing.assert_array_equal(
+                np.asarray(hit.prim), np.asarray(base.prim),
+                err_msg=f"sort={sort} g={g}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(hit.t), np.asarray(base.t), rtol=1e-6,
+                err_msg=f"sort={sort} g={g}",
+            )
+    finally:
+        tr.COHERENCE_SORT = False
+        tr.PACKET_TRACE_G = None
+
+
 @pytest.mark.slow
 def test_power_light_sampling_matches_all():
     """'power' NEE (one power-CDF-selected light per lane, one shadow ray

@@ -305,8 +305,20 @@ def intersect_mesh_packets(pool, node_offset, tri_offset, origins, dirs,
 
     o = tuple(origins[:, i].reshape(p, g) for i in range(3))
     d = tuple(dirs[:, i].reshape(p, g) for i in range(3))
-    no = jnp.broadcast_to(jnp.asarray(node_offset, jnp.int32), (p,))
-    to = jnp.broadcast_to(jnp.asarray(tri_offset, jnp.int32), (p,))
+    # offsets: scalars, or per-ray (R,) vectors whose packets are
+    # offset-uniform (instance blocks g-aligned — render/trace.py keeps
+    # each instance's lane block a multiple of g); the packet takes its
+    # head ray's offsets
+    no = jnp.asarray(node_offset, jnp.int32)
+    to = jnp.asarray(tri_offset, jnp.int32)
+    if no.ndim:
+        no = no.reshape(p, g)[:, 0]
+    else:
+        no = jnp.broadcast_to(no, (p,))
+    if to.ndim:
+        to = to.reshape(p, g)[:, 0]
+    else:
+        to = jnp.broadcast_to(to, (p,))
     state = _pinit_state(p, g, tmax, stack_slots)
 
     if p <= tile:

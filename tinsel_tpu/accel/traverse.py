@@ -137,10 +137,11 @@ class MeshPool:
     mesh dedup by id (render.cu:1002-1011) shares device geometry.
     """
 
-    # 4-ary internal node rows (see accel.build.WideBVH): per child c
-    # cols [3c,3c+3) bf16-packed lower/upper per axis, cols 12-15 bitcast
-    # child words, col 16 bitcast skip
-    node_rows: jax.Array  # (Ni, 24) f32
+    # K-ary internal node rows (see accel.build.WideBVH; K = WIDE_K,
+    # shipped 16): COMPONENT-MAJOR — cols [0,K) bf16-packed x lo/hi (one
+    # u32 per child), [K,2K) y, [2K,3K) z, [3K,4K) bitcast child words,
+    # plus pad to the row stride. (Ni, 72) f32 at K=16.
+    node_rows: jax.Array  # (Ni, 4*K + pad) f32
 
     # leaf blocks: 16 padded triangles, component-major within the row
     # (16x v0x | 16x v0y | ... | 16x v2z | 48 pad) — one row gather tests

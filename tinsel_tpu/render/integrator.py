@@ -52,10 +52,11 @@ from jax.ad_checkpoint import checkpoint_name
 #   "oh"  — the per-bounce one-hot primitive matrix;
 #   "mat" — the selected per-lane material table;
 #   "nee" — the next-event-estimation radiance.
-# ("hit",) measured best on TPU v5 (cornell 256^2 d4 material grads,
-# benchmarks/grad_sweep_r4.py): wider saves trade recompute for residual
-# traffic at a loss on this elementwise-traffic-bound backward.
-REMAT_SAVE_NAMES: tuple = ("hit",)
+# ("hit", "nee") measured best under the unrolled gradient loop (r5,
+# benchmarks/grad_ab_r6.py full device sweep: u1+nee ratio 2.43 vs
+# hit-only unroll 2.44 — within noise, saving NEE spares its recompute);
+# under the scan loop, hit-only was best (r4, grad_sweep_r4.py).
+REMAT_SAVE_NAMES: tuple = ("hit", "nee")
 
 # Gradient-path A/B knobs (module-level like REMAT_SAVE_NAMES; flipped by
 # benchmarks/grad_ab_r6.py and measured on TPU — see path_trace):
@@ -64,8 +65,16 @@ REMAT_SAVE_NAMES: tuple = ("hit",)
 #   GRAD_UNROLL: unroll the bounce loop in Python (same rematted bounce,
 #     no lax.scan) — lets XLA fuse each bounce's recompute with its
 #     transpose instead of round-tripping the scan carry through HBM.
+# r5 DEVICE SWEEP (grad_ab_r6.py, cornell 256^2 d4 4spp, ratio vs the
+# matched 10.0 ms forward): scan 2.75 / split-transpose 2.65 / unroll
+# g=1 2.44 / g=2 2.52 / g=4 2.71 / u1+nee 2.43 / u4+nee 2.55.
+# GRAD_UNROLL now defaults ON (the r3/r4 asks finally measured): the
+# scan carry round-trip through HBM was the binding term, not the
+# residual dtype — each unrolled bounce's recompute fuses with its own
+# transpose, and the inter-bounce state never becomes a saved scan
+# residual stream.
 SCAN_SPLIT_TRANSPOSE = False
-GRAD_UNROLL = False
+GRAD_UNROLL = True
 # Bounces per remat unit when GRAD_UNROLL (1 = per-bounce like the scan;
 # max_depth = one unit: the backward recomputes the whole shading chain
 # once and transposes it fused, at higher live memory).

@@ -152,6 +152,54 @@ INSTANCE_TOPK = 4  # candidate instances traversed per shortlist round
 INSTANCE_TOPK_MIN = 12  # shortlist rounds engage above this instance count
 # (below it the plain (I*R) batch is cheaper than the round machinery)
 
+COHERENCE_SORT = False  # per-instance octant+origin-Morton argsort of
+# big-mesh traversal lanes before tiling (r3 VERDICT #2 / r5 #4): groups
+# bounce rays so lockstep tiles (and packets) see coherent work. A/B'd
+# on device per scene class — benchmarks/r11_coherence.py; opt-in.
+PACKET_TRACE_G = None  # shared-walk packet width (accel.packets) for
+# scene big-mesh traversals; None = per-ray walk. Only sound combined
+# with coherent lane order (camera tiles or COHERENCE_SORT); instance
+# lane blocks stay g-aligned because each instance owns a contiguous
+# multiple-of-R block. Opt-in, benchmarks/r11_coherence.py.
+
+
+def _coherence_perm(handles, o_l, d_l):
+    """Per-instance coherence sort keys -> (I, R) argsort permutation.
+    Key = direction octant (3 high bits) | 27-bit Morton code of the
+    instance-local origin quantized against the static root AABB (9 bits
+    per axis). Sorting is per instance row, so instance lane blocks stay
+    contiguous (a packet never spans instances)."""
+    import numpy as _np
+
+    lo = jnp.asarray(
+        _np.asarray([h.root_lower for h in handles], _np.float32)
+    )[:, None, :]
+    hi = jnp.asarray(
+        _np.asarray([h.root_upper for h in handles], _np.float32)
+    )[:, None, :]
+    q = jnp.clip(
+        (o_l - lo) / jnp.maximum(hi - lo, 1e-20) * 511.0, 0.0, 511.0
+    ).astype(jnp.int32)
+
+    def spread(x):  # 3D bit-interleave (classic Morton spread)
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    m = (
+        spread(q[..., 0])
+        | (spread(q[..., 1]) << 1)
+        | (spread(q[..., 2]) << 2)
+    )
+    octant = (
+        (d_l[..., 0] < 0).astype(jnp.int32)
+        + 2 * (d_l[..., 1] < 0).astype(jnp.int32)
+        + 4 * (d_l[..., 2] < 0).astype(jnp.int32)
+    )
+    return jnp.argsort((octant << 27) | m, axis=1).astype(jnp.int32)
+
 
 def _instance_box_entry(handles, o_l, d_l, tmax_b):
     """Top-level cull: per-instance local-space root-AABB slab test.
@@ -217,7 +265,11 @@ def _instance_rounds(scene, o_l, d_l, tn, best_t0, noff_t, toff_t,
     FORCE=brute (I*R) path = 2.55 / - / 0.54 spp/s, i.e. the rounds win
     2.1x at 16 and 7.8x at 64 instances and the scaling is now sub-linear
     (36 -> 64 is ~flat: lanes stay k*R while only the shortlist argmins
-    grow with I)."""
+    grow with I). r5 stress past the recorded envelope (VERDICT r4 #7):
+    64/256 instances = 4.20 / 3.43 spp/s — 256 costs 1.22x the
+    64-instance time (target was <=1.5x); correctness at >TOPK_MIN
+    counts is pinned by the instances16 golden
+    (tests/test_goldens.py) on top of the equality tests."""
     k = INSTANCE_TOPK
     r = o_l.shape[1]
     noff_d = jnp.asarray(noff_t)
@@ -397,14 +449,27 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
             # bound the serial tile count (0.38 spp/s — per-lane cost
             # rises with tile size). The plain batched call with the
             # root-box cull stands at low instance counts.
+            g_pk = PACKET_TRACE_G
+            sort_on = (
+                (COHERENCE_SORT or g_pk) and not is_tiny
+                and r % (g_pk or 1) == 0
+            )
+            o_b, d_b, tm_b = o_l, d_l, tmax_i
+            if sort_on:
+                perm = _coherence_perm(handles, sg(o_l), sg(d_l))
+                pe = perm[..., None]
+                o_b = jnp.take_along_axis(o_l, pe, axis=1)
+                d_b = jnp.take_along_axis(d_l, pe, axis=1)
+                tm_b = jnp.take_along_axis(tmax_i, perm, axis=1)
             t_f, tri_f, *_ = intersect_mesh(
                 sg(scene.pool), noff_b, toff_b,
-                sg(o_l.reshape(n_inst * r, 3)),
-                sg(d_l.reshape(n_inst * r, 3)),
-                sg(tmax_i.reshape(n_inst * r)),
+                sg(o_b.reshape(n_inst * r, 3)),
+                sg(d_b.reshape(n_inst * r, 3)),
+                sg(tm_b.reshape(n_inst * r)),
                 num_tris=(handles[0].real_tris or handles[0].num_tris)
                 if is_tiny else None,
                 stack_slots=ss_b,
+                packet_g=g_pk if sort_on else None,
             )
             # local t equals world t: the transform maps the ray's
             # parameter linearly (uniform scale folded into |d_l|), so
@@ -412,6 +477,11 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
             # instances.
             t_i = t_f.reshape(n_inst, r)
             tri_i = tri_f.reshape(n_inst, r)
+            if sort_on:
+                # invert the per-instance sort with one scatter per field
+                ii = jnp.arange(n_inst, dtype=jnp.int32)[:, None]
+                t_i = jnp.zeros_like(t_i).at[ii, perm].set(t_i)
+                tri_i = jnp.zeros_like(tri_i).at[ii, perm].set(tri_i)
 
             t_min = t_i.min(axis=0)
             inst = jnp.where(
