@@ -10,6 +10,26 @@ forward baseline (default scan config):
             may fuse each bounce's rematted recompute with its transpose)
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/grad_ab_r6.py
+
+RESULT (TPU v5 lite, 2026-08-20, r5 full sweep; cornell 256^2 d4 4spp,
+canonical matched forward 10.0 ms/chunk):
+
+  base    (lax.scan)            27.3 ms  ratio 2.75   76.7 M fwd+bwd r/s
+  split   (_split_transpose)    26.3 ms  ratio 2.65   79.7
+  unroll  (python, group 1)     24.3 ms  ratio 2.44   86.3
+  unrol2  (group 2)             25.1 ms  ratio 2.52   83.7
+  unrol4  (group 4)             27.0 ms  ratio 2.71   77.7
+  u4+nee  (group 4, +nee save)  25.4 ms  ratio 2.55   82.5
+  u1+nee  (group 1, +nee save)  24.2 ms  ratio 2.43   86.7  <- SHIPPED
+
+Reading: the r3/r4 hypothesis blamed residual BYTES (bf16 packing /
+custom_vjp); the sweep shows the binding term was the lax.scan carry
+round-trip through HBM — unrolling with the SAME residual dtypes takes
+2.75 -> 2.43, while widening the save set (same loop) moves ~nothing.
+Byte-packing attacks are therefore secondary at this depth; recorded
+here so the question is closed with a measurement (VERDICT r4 #2).
+Defaults updated: GRAD_UNROLL=True, GRAD_UNROLL_GROUP=1,
+REMAT_SAVE_NAMES=("hit", "nee").
 """
 
 import sys

@@ -7,8 +7,12 @@ target accelerator:
 
     PYTHONPATH="/root/repo:$PYTHONPATH" python benchmarks/run_all.py
 
-Timings end with a real host transfer (np.asarray) — block_until_ready
-returns early on tunneled runtimes."""
+Timings are SLOPES between two in-jit chunk counts with a 1-element
+host-transfer sync (bench.py methodology, r5 fix): the r1-r4 version
+timed one dispatch ending in a FULL-image np.asarray, which measures the
+tunnel's dispatch floor + image transfer, not the machine — the r3
+matrix numbers (cornell 80 spp/s vs the slope-measured 300+) carried
+that bias, and the link speed varies by session."""
 
 from __future__ import annotations
 
@@ -34,16 +38,36 @@ def _bench_scene(name, scene, spp, warm_spp=None):
     cam = CameraParams.from_host(scene.camera)
     chunk = max(1, min(spp, (1 << 20) // max(o.width * o.height, 1)))
     step = make_accumulate_fn(o, chunk)
-    key = jax.random.key(0)
-    acc = jnp.zeros((o.height, o.width, 4), jnp.float32)
-    np.asarray(step(acc, flat, cam, key, 0))  # compile + sync
+    # match the render() entry point's PRNG default (rbg; Options.prng)
+    key = jax.random.key(0, impl=getattr(o, "prng", "rbg"))
+    acc0 = jnp.zeros((o.height, o.width, 4), jnp.float32)
+
+    def n_fn(n):
+        @jax.jit
+        def run(flat, cam, key):
+            def body(c, acc):
+                return step(acc, flat, cam, key, c)
+            return jax.lax.fori_loop(0, n, body, acc0)
+        return run
+
+    def timed(fn, reps=3):
+        out = fn(flat, cam, key)
+        np.asarray(out.ravel()[:1])  # 1-element sync, not the image
+        ss = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(flat, cam, key)
+            np.asarray(out.ravel()[:1])
+            ss.append(time.perf_counter() - t0)
+        return sorted(ss)[len(ss) // 2], out
 
     n_chunks = max(1, spp // chunk)
-    t0 = time.perf_counter()
-    for c in range(n_chunks):
-        acc = step(acc, flat, cam, key, c)
+    # 1x vs 4x chunk counts: the 3x-work slope swamps rep noise that a
+    # single-chunk delta cannot (fast scenes measured NEGATIVE slopes)
+    t_lo, acc = timed(n_fn(n_chunks))
+    t_hi, _ = timed(n_fn(4 * n_chunks))
+    dt = (t_hi - t_lo) / 3  # time for n_chunks chunks
     a = np.asarray(acc)
-    dt = time.perf_counter() - t0
     done = n_chunks * chunk
     n_lights = len(flat.light_indices)
     n_shadow = (

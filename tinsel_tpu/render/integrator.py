@@ -115,7 +115,13 @@ def _make_bounce(scene: SceneFlat, times, key, r, rr_depth: int = 0,
     def bounce(st, i):
         kb = jax.random.fold_in(key, i)
         o, d = st["o"], st["d"]
-        hit = trace_closest(scene, o, d, times)
+        # bounce 0's lanes are camera rays in pixel order — a statically
+        # known coherent batch when the loop is Python-unrolled (i is an
+        # int); big-mesh traversal then uses shared-walk packets
+        # (trace.PACKET_TRACE_G). Bounce rays stay on the per-ray walk
+        # (incoherent packets measured-and-rejected, r11_coherence.py).
+        coh = isinstance(i, int) and i == 0
+        hit = trace_closest(scene, o, d, times, coherent=coh)
         found = hit.prim >= 0
         act_hit = st["alive"] & found
         act_miss = st["alive"] & ~found
@@ -243,7 +249,10 @@ def _make_bounce(scene: SceneFlat, times, key, r, rr_depth: int = 0,
                 jax.lax.stop_gradient(thr.max(axis=-1)), RR_MIN_Q, 1.0
             )
             u_rr = jax.random.uniform(jax.random.fold_in(kb, 3), (r,))
-            roulette = i + 1 >= rr_depth  # applies to the NEXT bounce's ray
+            # applies to the NEXT bounce's ray; jnp.bool_ because i may be
+            # a STATIC python int under the unrolled loop (python ~True
+            # is -2, which would silently int-promote `alive`)
+            roulette = jnp.bool_(i + 1 >= rr_depth)
             alive = alive & (~roulette | (u_rr < q))
             thr = jnp.where(
                 (alive & roulette)[..., None], thr / q[..., None], thr
@@ -340,8 +349,20 @@ def path_trace(scene: SceneFlat, origins, dirs, times, max_depth: int, key,
     if grad_unroll:
         g = max(1, grad_unroll)
         if g == 1:
+            # the bounce index stays a STATIC python int through the
+            # checkpoint (static_argnums) so bounce 0 can statically mark
+            # its camera lanes coherent (packet traversal hint)
+            step1 = raw_step
+            if REMAT_SAVE_NAMES is not None:
+                step1 = jax.checkpoint(
+                    raw_step,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        *REMAT_SAVE_NAMES
+                    ),
+                    static_argnums=(1,),
+                )
             for i in range(max_depth):
-                state, _ = bounce_or_skip(state, i)
+                state, _ = step1(state, i)
             return state["rad"]
 
         def group(st, idxs):
@@ -395,7 +416,7 @@ def path_trace_while(scene: SceneFlat, origins, dirs, times, max_depth: int,
 
 def trace_normals(scene: SceneFlat, origins, dirs, times):
     """Normals debug view (render.cpp:494-515): n*0.5+0.5, black on miss."""
-    hit = trace_closest(scene, origins, dirs, times)
+    hit = trace_closest(scene, origins, dirs, times, coherent=True)
     n = hit.normal
     if scene.has_bump:  # show the shading normal the integrator uses
         from .bump import bump_normal

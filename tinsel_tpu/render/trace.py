@@ -153,14 +153,26 @@ INSTANCE_TOPK_MIN = 12  # shortlist rounds engage above this instance count
 # (below it the plain (I*R) batch is cheaper than the round machinery)
 
 COHERENCE_SORT = False  # per-instance octant+origin-Morton argsort of
-# big-mesh traversal lanes before tiling (r3 VERDICT #2 / r5 #4): groups
-# bounce rays so lockstep tiles (and packets) see coherent work. A/B'd
-# on device per scene class — benchmarks/r11_coherence.py; opt-in.
+# big-mesh traversal lanes before tiling (r3 VERDICT #2 / r5 #4).
+# Measured-and-REJECTED as a default on device (benchmarks/
+# r11_coherence.py, interleaved): envmesh 9.93 -> 6.41 spp/s, probemesh
+# 5.89 -> 4.90 — the 262k-lane argsort + permutes cost more than bounce
+# -ray coherence buys, and the sorted order still can't tame diffuse
+# union inflation (directions diverge within an octant). Kept opt-in.
 PACKET_TRACE_G = None  # shared-walk packet width (accel.packets) for
-# scene big-mesh traversals; None = per-ray walk. Only sound combined
-# with coherent lane order (camera tiles or COHERENCE_SORT); instance
-# lane blocks stay g-aligned because each instance owns a contiguous
-# multiple-of-R block. Opt-in, benchmarks/r11_coherence.py.
+# scene big-mesh traversals of lanes the caller marks COHERENT
+# (trace_closest(coherent=True) — the integrator marks bounce 0, whose
+# camera lanes arrive in pixel order). Measured on device
+# (benchmarks/r11_coherence.py RESULT): ALL-bounce packets lose big
+# (envmesh 9.93 -> 4.20 spp/s, probemesh 5.89 -> 2.70 — diffuse-bounce
+# union inflation eats the gather win exactly as r7_packet_sim.py's
+# diffuse rows predict), and even bounce-0-only packets are a wash in
+# FULL scenes (envmesh 10.01 -> 9.64, probemesh 5.85 -> 5.81 — the
+# primary trace is a small share of frame time against mixed hit/miss
+# lanes). Default None; the 2x packet win stands on traversal-bound
+# workloads via intersect_mesh(packet_g=8) (BENCH bigmesh headline).
+# Instance lane blocks stay g-aligned (each instance owns a contiguous
+# multiple-of-R block), so per-ray offsets compose with packets.
 
 
 def _coherence_perm(handles, o_l, d_l):
@@ -347,8 +359,14 @@ def _instance_rounds_any(scene, o_l, d_l, tn, tmax, occ0, noff_t, toff_t,
     return occ
 
 
-def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
+def trace_closest(scene: SceneFlat, origins, dirs, times,
+                  coherent: bool = False) -> Hit:
     """Closest-hit over all primitives. origins/dirs (R,3), times (R,).
+
+    coherent=True marks the batch as lane-ordered coherent (neighboring
+    lanes trace neighboring rays — camera tiles); big-mesh traversals
+    then use shared-walk packets (PACKET_TRACE_G). The integrator sets
+    it for bounce 0 under the unrolled loop.
 
     Instances of one mesh are traced in ONE batched traversal: rays are
     transformed into every instance frame, the shared sub-BVH is traversed
@@ -449,12 +467,19 @@ def trace_closest(scene: SceneFlat, origins, dirs, times) -> Hit:
             # bound the serial tile count (0.38 spp/s — per-lane cost
             # rises with tile size). The plain batched call with the
             # root-box cull stands at low instance counts.
-            g_pk = PACKET_TRACE_G
-            sort_on = (
-                (COHERENCE_SORT or g_pk) and not is_tiny
-                and r % (g_pk or 1) == 0
+            # packets engage when the lanes are coherent: either the
+            # caller says so (camera order) or the opt-in sort makes
+            # them so; incoherent packets measured-and-rejected (see
+            # PACKET_TRACE_G note)
+            sort_on = COHERENCE_SORT and not is_tiny
+            g_pk = (
+                PACKET_TRACE_G
+                if (coherent or sort_on) and not is_tiny
+                and PACKET_TRACE_G and r % PACKET_TRACE_G == 0
+                else None
             )
             o_b, d_b, tm_b = o_l, d_l, tmax_i
+            perm = None
             if sort_on:
                 perm = _coherence_perm(handles, sg(o_l), sg(d_l))
                 pe = perm[..., None]
