@@ -316,7 +316,17 @@ class MaterialsFlat:
 
     def select_oh(self, oh):
         """Select with a precomputed one-hot matrix (shared across the other
-        per-primitive lookups of a bounce)."""
+        per-primitive lookups of a bounce).
+
+        Measured-and-rejected (r5, interleaved TPU A/B on the cornell
+        forward): packing all 12 fields into ONE (R, P) x (P, 18) matmul
+        + column slices LOST to this per-field tree_map form (36.5 vs
+        39.2 ms/chunk — 229.9 vs 213.8 M rays/s). At small P the
+        per-field "matmuls" compile to multiply-reduce fusions that fuse
+        into their consumers, while the packed (R, 18) output pays a
+        strided column extract per field (the same relayout tax the
+        traversal rules document); re-reading the one-hot costs less
+        than those relayouts."""
         pick = lambda a: jnp.matmul(oh, a, precision=jax.lax.Precision.HIGHEST)
         return jax.tree_util.tree_map(pick, self)
 
