@@ -11,7 +11,28 @@ TINSEL_NO_COMPILE_CACHE=1.
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags. XLA:CPU persists AOT
+    binaries whose cache key does NOT include the compile machine's
+    feature set — an entry written on a host with (say) AMX/AVX512
+    prefer-no-gather executes as SIGILL/SIGSEGV on a host without them
+    (r5: a 4.3 GB cache from a previous round's machine segfaulted the
+    sharding tests mid-suite). Scoping the cache dir per host keeps each
+    machine's binaries to itself."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
 def enable_compile_cache(path: str | None = None) -> str | None:
@@ -23,7 +44,8 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     path = path or os.environ.get(
         "TINSEL_COMPILE_CACHE",
         os.path.join(
-            os.path.expanduser("~"), ".cache", "tinsel_tpu", "xla"
+            os.path.expanduser("~"), ".cache", "tinsel_tpu",
+            f"xla-{_host_fingerprint()}",
         ),
     )
     try:
