@@ -180,9 +180,11 @@ def main():
             return jnp.stack([loss, gsum])  # both live outputs
         return jax.jit(run)
 
-    glo, ghi = (1, 4) if not degraded else (1, 2)
-    tg_lo = timed(grad_n_fn(glo), flat, cam, key)
-    tg_hi = timed(grad_n_fn(ghi), flat, cam, key)
+    # r5: widened from (1, 4) — the 3-chunk slope (~78 ms of work) left
+    # the ratio swinging 2.56-3.31 between runs under dispatch jitter
+    glo, ghi = (2, 10) if not degraded else (1, 2)
+    tg_lo = timed(grad_n_fn(glo), flat, cam, key, reps=5)
+    tg_hi = timed(grad_n_fn(ghi), flat, cam, key, reps=5)
     per_grad = (tg_hi - tg_lo) / (ghi - glo)
     fwdbwd_rays_per_sec = rays_per_pass * grad_spp / per_grad
 
@@ -196,8 +198,8 @@ def main():
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         return run
 
-    tf_lo = timed(fwd_n_fn(glo), flat, cam, key)
-    tf_hi = timed(fwd_n_fn(ghi), flat, cam, key)
+    tf_lo = timed(fwd_n_fn(glo), flat, cam, key, reps=5)
+    tf_hi = timed(fwd_n_fn(ghi), flat, cam, key, reps=5)
     per_fwd_matched = (tf_hi - tf_lo) / (ghi - glo)
     bwd_ratio_matched = per_grad / per_fwd_matched
 
@@ -304,10 +306,16 @@ _BIGMESH_BYTES_PER_RAY = 13.5 * 68 + 2.1 * 576
 
 # cornell forward: derived per run from XLA's own cost analysis of the
 # compiled render pass ("bytes accessed" / counted rays) instead of the
-# r1-r4 hand guess (2*32*4 = 256 B; the compiler reports ~1100 B —
-# benchmarks/r8_fwd_decomp.py RESULT). Fallback if the backend offers
-# no cost analysis:
-_FWD_BYTES_PER_RAY_FALLBACK = 1105.0
+# r1-r4 hand guess (2*32*4 = 256 B). NOTE the accounting: a lax.scan
+# body's bytes count ONCE regardless of trip count (an early r5 probe
+# read ~1100 B/ray from the scan-structured pass — an undercount); the
+# unrolled pass reports ~4000 B/ray. "Bytes accessed" is per-op operand
+# traffic, not unique HBM traffic, so achieved rays/s can exceed
+# BW/bytes (VMEM reuse) — a fraction near/above 1 reads as "the forward
+# streams its accounted operand bytes at full bandwidth", i.e. it is
+# fusion/traffic bound, not compute bound. Fallback if the backend
+# offers no cost analysis:
+_FWD_BYTES_PER_RAY_FALLBACK = 4000.0
 
 
 def _fwd_bytes_per_ray(pass_fn, flat, cam, key, rays_per_pass):
@@ -352,14 +360,17 @@ def _measure_hbm_bw():
         fn = make(k)
         np.asarray(fn(a, b).ravel()[:1])
         ss = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             out = fn(a, b)
             np.asarray(out.ravel()[:1])
             ss.append(time.perf_counter() - t0)
-        return sorted(ss)[1]
+        return sorted(ss)[2]
 
-    lo, hi = 4, 20
+    # r5: the 4->20 slope moved ~8 ms of real work under a +-5 ms
+    # dispatch jitter and reported 603-1047 GB/s across sessions for the
+    # same chip; 8->72 puts ~32 ms of work in the slope
+    lo, hi = 8, 72
     per_iter = (t_of(hi) - t_of(lo)) / (hi - lo)
     return 3 * n * 4 / per_iter / 1e9
 
@@ -453,9 +464,12 @@ def _bigmesh_step_stats():
 
     per_walk = {}
     for cap in (8, 32):
-        t_lo = med_time(make_chain(8, cap))
-        t_hi = med_time(make_chain(40, cap))
-        per_walk[cap] = (t_hi - t_lo) / 32
+        # r5: chains doubled (8/40 -> 16/80) — the old nested slope left
+        # ~23 ms of work under +-5 ms dispatch jitter and reported
+        # 6.2-12.0 ns/lane for the same binary across sessions
+        t_lo = med_time(make_chain(16, cap))
+        t_hi = med_time(make_chain(80, cap))
+        per_walk[cap] = (t_hi - t_lo) / 64
     per_step = (per_walk[32] - per_walk[8]) / 24
 
     return dict(

@@ -34,13 +34,20 @@ ms per 16-spp chunk, successive differences attribute the stage):
     +bsdf          35.13 (+ 6.1)
     full           38.70 (+ 3.6)       | 216.8 M rays/s in-harness
 
-Forward traffic model: XLA cost analysis of the compiled full pass
-reports 9.27 GB accessed / 8.39 M counted rays = 1105 B/ray (vs the
-r4 hand guess of 256 B) -> HBM model 705 GB/s / 1105 B = 638 M rays/s;
-the shipped 223.6 M is 35% of that. Average achieved traffic is only
-9.27 GB / 38.7 ms = 240 GB/s, so the cornell forward is fusion-count /
-latency bound, not bandwidth bound: the lever is fewer, larger fusions
-(fewer materialized (R,) intermediates), not fewer bytes per op.
+Forward traffic model (r5-corrected): XLA cost analysis of the
+compiled pass reports ~4000 B per counted ray under the unrolled bounce
+loop. (An earlier probe of the scan-structured pass read 1105 B/ray —
+an ACCOUNTING artifact: a lax.scan body's bytes count once regardless
+of trip count, so the scan number under-counted the four bounces.)
+"Bytes accessed" is per-op operand traffic, not unique HBM traffic;
+the shipped forward achieves ~0.9-1.3x of BW/bytes_accessed — i.e. it
+streams its accounted operand bytes at about full bandwidth. The
+cornell forward is fusion/traffic bound, not compute bound: the lever
+is fewer, larger fusions (fewer materialized (R,) intermediates), not
+more FLOPs per byte. (Confirmed by the packed-select experiment,
+scene/model.py select_oh: merging 12 select matmuls into one LOST —
+the relayouts its column extracts added cost more than the operand
+re-reads it removed.)
 """
 
 import time
