@@ -36,8 +36,22 @@ def _host_fingerprint() -> str:
 
 
 def enable_compile_cache(path: str | None = None) -> str | None:
-    """Turn on JAX's persistent compilation cache (idempotent)."""
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    CPU runs (JAX_PLATFORMS=cpu — the test suite) get NO persistent
+    cache by default: jaxlib's XLA:CPU AOT deserializer SEGFAULTED
+    reading back entries written by the SAME process on the SAME host
+    (r5, twice, compilation_cache.get_executable_and_time in the
+    sharding tests; the cpu_aot_loader logs show it comparing internal
+    prefer-no-gather/scatter pseudo-features that never match the host
+    probe). TPU executables round-trip fine and carry the real compile
+    -time win. TINSEL_CPU_COMPILE_CACHE=1 force-enables for CPU."""
     if os.environ.get("TINSEL_NO_COMPILE_CACHE") == "1":
+        return None
+    if (
+        "cpu" in os.environ.get("JAX_PLATFORMS", "")
+        and os.environ.get("TINSEL_CPU_COMPILE_CACHE") != "1"
+    ):
         return None
     import jax
 
