@@ -30,6 +30,11 @@ Byte-packing attacks are therefore secondary at this depth; recorded
 here so the question is closed with a measurement (VERDICT r4 #2).
 Defaults updated: GRAD_UNROLL=True, GRAD_UNROLL_GROUP=1,
 REMAT_SAVE_NAMES=("hit", "nee").
+
+Chunk-size sweep (same session, ratio vs matched-spp forward):
+spp 4 -> 2.49, spp 8 -> 2.55, spp 16 -> 2.50 — flat, so the bench's
+4 spp grain stands; the shipped ratio sits at 2.43-2.58 across tunnel
+sessions (the r4 target was <= 2.5).
 """
 
 import sys

@@ -31,3 +31,19 @@ enable_compile_cache()
 
 assert jax.devices()[0].platform == "cpu"
 assert jax.device_count() >= 8, "expected 8 virtual CPU devices for sharding tests"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables + tracing caches after every test module.
+
+    The full suite holds ~200 compiled CPU executables alive in one
+    process by the end; r5 saw XLA:CPU segfault inside
+    backend_compile_and_load at test ~200 (the sharding module) while
+    the same module passes standalone — cumulative compiler/executable
+    state is the trigger. Modules share almost no jitted functions, so
+    per-module clearing costs little and keeps the process lean."""
+    yield
+    jax.clear_caches()
